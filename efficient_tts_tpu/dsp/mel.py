@@ -1,0 +1,129 @@
+"""HiFi-GAN-compatible log-mel spectrogram as a jit-compiled XLA graph.
+
+Canonical DSP of the framework, behaviorally matching the reference
+`mel_spectrogram` (`/root/reference/nntts/datasets/meldataset.py:49-82`):
+
+  1. reflect-pad the waveform by (n_fft - hop) / 2 on both sides
+  2. STFT with a periodic Hann window, center=False, onesided
+  3. magnitude = sqrt(re^2 + im^2 + 1e-9)
+  4. project onto a Slaney mel filterbank (sr 22050, 1024 fft, 80 mels,
+     fmin 0, fmax 8000)
+  5. log-compress: log(clamp(x, min=1e-5))
+
+TPU-first design: the STFT is expressed as frame-gather + rfft (XLA lowers
+the rfft to an MXU-friendly batched transform), the mel projection is a
+single [n_bins, n_mels] matmul fused by XLA with the magnitude and log
+stages. A numpy twin (`mel_spectrogram_np`) serves the host-side data
+pipeline so workers never touch the device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from efficient_tts_tpu.dsp.filters import hann_window, mel_filterbank
+
+
+@dataclasses.dataclass(frozen=True)
+class MelConfig:
+    sample_rate: int = 22050
+    n_fft: int = 1024
+    num_mels: int = 80
+    hop_size: int = 256
+    win_size: int = 1024
+    fmin: float = 0.0
+    fmax: float | None = 8000.0
+    # log-compression clamp, meldataset.py:19-28
+    clip_val: float = 1e-5
+    # magnitude epsilon, meldataset.py:77
+    mag_eps: float = 1e-9
+
+    @property
+    def pad(self) -> int:
+        # meldataset.py:71 — (n_fft - hop) / 2 reflect pad on each side
+        return (self.n_fft - self.hop_size) // 2
+
+
+def num_frames(n_samples: int, cfg: MelConfig = MelConfig()) -> int:
+    """Number of STFT frames for an unpadded waveform of `n_samples`.
+
+    After reflect-padding by 2*cfg.pad, center=False framing yields
+    1 + (padded - n_fft) // hop frames.
+    """
+    padded = n_samples + 2 * cfg.pad
+    if padded < cfg.n_fft:
+        return 0
+    return 1 + (padded - cfg.n_fft) // cfg.hop_size
+
+
+def _frame(y: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """[B, T] -> [B, F, frame_length] overlapping frames (static shapes)."""
+    n = y.shape[-1]
+    f = 1 + (n - frame_length) // hop
+    starts = jnp.arange(f) * hop
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
+    return y[..., idx]
+
+
+def stft_magnitude(y: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
+    """[B, T] waveform -> [B, n_bins, F] magnitude spectrogram.
+
+    Matches torch.stft(center=False) + sqrt(power + 1e-9)
+    (meldataset.py:74-77).
+    """
+    pad = cfg.pad
+    y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    frames = _frame(y, cfg.n_fft, cfg.hop_size)  # [B, F, n_fft]
+    win = jnp.asarray(hann_window(cfg.win_size))
+    if cfg.win_size < cfg.n_fft:
+        lpad = (cfg.n_fft - cfg.win_size) // 2
+        win = jnp.pad(win, (lpad, cfg.n_fft - cfg.win_size - lpad))
+    frames = frames * win[None, None, :]
+    spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)  # [B, F, n_bins]
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + cfg.mag_eps)
+    return jnp.swapaxes(mag, -1, -2)  # [B, n_bins, F]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def mel_spectrogram(y: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
+    """[B, T] waveform in [-1, 1] -> [B, num_mels, F] log-mel spectrogram."""
+    mag = stft_magnitude(y, cfg)
+    basis = jnp.asarray(
+        mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.fmin, cfg.fmax)
+    )
+    mel = jnp.einsum(
+        "mn,bnf->bmf", basis, mag, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.log(jnp.clip(mel, min=cfg.clip_val))
+
+
+def mel_spectrogram_np(y: np.ndarray, cfg: MelConfig = MelConfig()) -> np.ndarray:
+    """Numpy twin of `mel_spectrogram` for the host data pipeline.
+
+    [T] or [B, T] -> [num_mels, F] or [B, num_mels, F].
+    """
+    squeeze = y.ndim == 1
+    y = np.atleast_2d(np.asarray(y, dtype=np.float32))
+    pad = cfg.pad
+    y = np.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    n = y.shape[-1]
+    f = 1 + (n - cfg.n_fft) // cfg.hop_size
+    starts = np.arange(f) * cfg.hop_size
+    idx = starts[:, None] + np.arange(cfg.n_fft)[None, :]
+    frames = y[:, idx]  # [B, F, n_fft]
+    win = hann_window(cfg.win_size)
+    if cfg.win_size < cfg.n_fft:
+        lpad = (cfg.n_fft - cfg.win_size) // 2
+        win = np.pad(win, (lpad, cfg.n_fft - cfg.win_size - lpad))
+    frames = frames * win[None, None, :]
+    spec = np.fft.rfft(frames.astype(np.float64), n=cfg.n_fft, axis=-1)
+    mag = np.sqrt(spec.real**2 + spec.imag**2 + cfg.mag_eps)
+    basis = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.fmin, cfg.fmax)
+    mel = basis @ np.swapaxes(mag, -1, -2).astype(np.float32)
+    out = np.log(np.clip(mel, cfg.clip_val, None)).astype(np.float32)
+    return out[0] if squeeze else out

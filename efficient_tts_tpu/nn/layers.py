@@ -1,0 +1,251 @@
+"""Functional NN primitives on pytree parameters.
+
+TPU-first design notes:
+  * activations are kept in channels-last [B, T, C] so every conv lowers
+    to an MXU-tiled `lax.conv_general_dilated` with ('NWC','WIO','NWC')
+    dimension numbers -- no transposes in the hot path (the reference
+    shuttles between [B,C,T] and [B,T,C] constantly, e.g.
+    `efficient_tts.py:144-148`).
+  * weight normalization (torch `weight_norm` with dim=0,
+    `efts_modules.py:74-75`) is carried as an explicit {v, g}
+    reparametrization; `fold_weight_norm` collapses it for inference.
+  * params are plain nested dicts -- transparent to jax.tree_util,
+    orbax checkpointing, and sharding-rule pattern matching.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# initializers
+
+
+def kaiming_uniform(key, shape, fan_in, dtype=jnp.float32):
+    """He/kaiming uniform with a=sqrt(5), matching torch's default conv/linear
+    init (gain for leaky_relu(a=sqrt(5)) => bound = 1/sqrt(fan_in) * sqrt(3) * gain)."""
+    gain = math.sqrt(2.0 / (1.0 + 5.0))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _bias_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def normal_init(key, shape, std=0.01, dtype=jnp.float32):
+    """N(0, std) used by HiFi-GAN (`vocoders/utils.py:22`)."""
+    return std * jax.random.normal(key, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# linear
+
+
+def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> dict:
+    kw, kb = jax.random.split(key)
+    return {
+        "w": kaiming_uniform(kw, (in_dim, out_dim), in_dim, dtype),
+        "b": _bias_uniform(kb, (out_dim,), in_dim, dtype),
+    }
+
+
+def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, params["w"]) + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# embedding
+
+
+def embedding_init(key, num_embeddings: int, dim: int, dtype=jnp.float32) -> dict:
+    return {"table": jax.random.normal(key, (num_embeddings, dim), dtype)}
+
+
+def embedding(params: dict, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["table"], ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# conv1d (channels-last)
+
+
+def conv1d_init(
+    key,
+    in_ch: int,
+    out_ch: int,
+    kernel_size: int,
+    dtype=jnp.float32,
+    init: str = "torch",
+    init_std: float = 0.01,
+) -> dict:
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * kernel_size
+    shape = (kernel_size, in_ch, out_ch)  # WIO
+    if init == "torch":
+        w = kaiming_uniform(kw, shape, fan_in, dtype)
+    elif init == "normal":
+        w = normal_init(kw, shape, init_std, dtype)
+    else:
+        raise ValueError(init)
+    return {"w": w, "b": _bias_uniform(kb, (out_ch,), fan_in, dtype)}
+
+
+def conv1d(
+    params: dict,
+    x: jnp.ndarray,
+    stride: int = 1,
+    dilation: int = 1,
+    padding="SAME",
+    groups: int = 1,
+) -> jnp.ndarray:
+    """[B, T, Cin] -> [B, T', Cout]; padding 'SAME' == torch (k-1)//2*dilation
+    for odd kernels."""
+    w = params["w"]
+    if isinstance(padding, str) and padding == "SAME":
+        k = w.shape[0]
+        pad = (k - 1) // 2 * dilation
+        padding = [(pad, pad)]
+    elif isinstance(padding, int):
+        padding = [(padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+    return y + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# transposed conv1d (channels-last)
+
+
+def conv_transpose1d_init(
+    key,
+    in_ch: int,
+    out_ch: int,
+    kernel_size: int,
+    dtype=jnp.float32,
+    init: str = "torch",
+    init_std: float = 0.01,
+) -> dict:
+    kw, kb = jax.random.split(key)
+    # torch ConvTranspose1d fan_in = out_ch * kernel_size (weight [in, out, k])
+    fan_in = out_ch * kernel_size
+    shape = (kernel_size, in_ch, out_ch)  # WIO for lax.conv_transpose
+    if init == "torch":
+        w = kaiming_uniform(kw, shape, fan_in, dtype)
+    elif init == "normal":
+        w = normal_init(kw, shape, init_std, dtype)
+    else:
+        raise ValueError(init)
+    return {"w": w, "b": _bias_uniform(kb, (out_ch,), fan_in, dtype)}
+
+
+def conv_transpose1d(
+    params: dict, x: jnp.ndarray, stride: int, padding: int
+) -> jnp.ndarray:
+    """[B, T, Cin] -> [B, T*stride(+...), Cout], matching torch semantics:
+    out_len = (T-1)*stride - 2*padding + kernel_size.
+
+    Lowered as input dilation (`lhs_dilation=stride`) so XLA maps it onto
+    the same conv path as the forward convs -- the canonical TPU lowering
+    for HiFi-GAN's upsampling stack (`hifigan_model.py:104-131`).
+    """
+    w = params["w"]
+    k = w.shape[0]
+    # conv with lhs dilation: effective torch padding -> lax low/high padding
+    pad = k - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(w, 0),  # transpose conv correlates with the flipped kernel
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x.dtype,
+    )
+    return y + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# weight norm
+
+
+def weight_norm_init(params: dict) -> dict:
+    """Wrap a conv/linear param dict into weight-norm form {v, g, b}.
+
+    torch weight_norm(dim=0) normalizes per *output channel*; our kernels
+    are WIO/[in,out], so the norm reduces over all axes except the last.
+    """
+    w = params["w"]
+    axes = tuple(range(w.ndim - 1))
+    g = jnp.sqrt(jnp.sum(w * w, axis=axes))
+    return {"v": w, "g": g, "b": params["b"]}
+
+
+def weight_norm_kernel(params: dict, eps: float = 0.0) -> jnp.ndarray:
+    """Materialize w = g * v / ||v|| (norm over non-output axes)."""
+    v = params["v"]
+    axes = tuple(range(v.ndim - 1))
+    norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + eps)
+    return params["g"] * v / norm
+
+
+def fold_weight_norm(params):
+    """Recursively collapse every {v, g, b} into a plain {w, b} pytree.
+
+    Counterpart of the reference `remove_weight_norm`
+    (`efficient_tts.py:400-409`) used before inference."""
+    if isinstance(params, dict):
+        if "v" in params and "g" in params:
+            return {"w": weight_norm_kernel(params), "b": params["b"]}
+        return {k: fold_weight_norm(v) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(fold_weight_norm(v) for v in params)
+    return params
+
+
+def maybe_wn_kernel(params: dict) -> dict:
+    """Return {'w','b'} whether params are weight-normed or plain."""
+    if "v" in params and "g" in params:
+        return {"w": weight_norm_kernel(params), "b": params["b"]}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# normalization & activations
+
+
+def layer_norm_init(dim: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params: dict, x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """LayerNorm over the last (channel) axis; eps matches the reference
+    `LayerNorm(nout, eps=1e-12)` (`layer_norm.py:17`)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * params["scale"] + params["bias"]
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.1) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def dropout(key, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
