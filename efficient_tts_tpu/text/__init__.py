@@ -71,9 +71,10 @@ def load_phone_vocab(path: str) -> dict:
     """Phone-set file (one phone per line) -> {phone: id}.
 
     The LJ recipe's phone-sequence mode (`taco2_data.py:40-42`): ids are
-    line order, 0-based. NOTE: id 0 collides with the pad id -- a latent
-    quirk of the reference preserved deliberately for checkpoint parity
-    (SURVEY.md §2.6).
+    line order, 0-based (LJ set: 76 phones, ids 0..75, matching the
+    config's num_symbols: 76). NOTE: id 0 collides with the pad id -- a
+    latent quirk of the reference preserved deliberately for checkpoint
+    parity (SURVEY.md §2.6).
     """
     with open(path, "r") as f:
         phones = [line.strip() for line in f if line.strip()]

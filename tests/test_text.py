@@ -79,10 +79,10 @@ def test_number_to_words_scales():
 
 def test_phone_vocab_lj():
     vocab = load_phone_vocab(REF_PHNSET)
-    assert len(vocab) == 75
+    assert len(vocab) == 76  # ids 0..75; LJ config num_symbols: 76
     seq = phones_to_sequence("HH AH0 L OW1", vocab)
     assert len(seq) == 4
-    assert all(0 <= i < 75 for i in seq)
+    assert all(0 <= i < 76 for i in seq)
     # latent reference quirk preserved: phone id 0 collides with pad id 0
     assert min(vocab.values()) == 0
 
