@@ -1,0 +1,15 @@
+"""Model registry.
+
+The reference resolves model classes from YAML strings via getattr on
+the package namespace (`nntts/bin/train.py:173-176`); here the registry
+maps names to (config_cls, init, forward) module triples.
+"""
+
+from efficient_tts_tpu.models import duration_model, efficient_tts  # noqa: F401
+from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig  # noqa: F401
+from efficient_tts_tpu.models.duration_model import DurationModelConfig  # noqa: F401
+
+MODEL_REGISTRY = {
+    "EfficientTTSCNN": efficient_tts,
+    "DurationModel": duration_model,
+}

@@ -181,24 +181,32 @@ def conv_transpose1d(
 # weight norm
 
 
-def weight_norm_init(params: dict) -> dict:
+def weight_norm_init(params: dict, preserved_axis: int = -1) -> dict:
     """Wrap a conv/linear param dict into weight-norm form {v, g, b}.
 
-    torch weight_norm(dim=0) normalizes per *output channel*; our kernels
-    are WIO/[in,out], so the norm reduces over all axes except the last.
+    torch `weight_norm(dim=0)` normalizes per slice of weight dim 0:
+    per *output* channel for Conv1d/Linear ([out, ...] layouts), but per
+    *input* channel for ConvTranspose1d ([in, out, k]). In our WIO/[in,out]
+    layouts that is `preserved_axis=-1` for conv/linear and
+    `preserved_axis=1` for transposed convs. The reduction axes are
+    recorded structurally: `g` keeps a broadcastable shape with size 1 on
+    every reduced axis, so `weight_norm_kernel` needs no side metadata.
     """
     w = params["w"]
-    axes = tuple(range(w.ndim - 1))
-    g = jnp.sqrt(jnp.sum(w * w, axis=axes))
+    preserved_axis = preserved_axis % w.ndim
+    axes = tuple(i for i in range(w.ndim) if i != preserved_axis)
+    g = jnp.sqrt(jnp.sum(w * w, axis=axes, keepdims=True))
     return {"v": w, "g": g, "b": params["b"]}
 
 
 def weight_norm_kernel(params: dict, eps: float = 0.0) -> jnp.ndarray:
-    """Materialize w = g * v / ||v|| (norm over non-output axes)."""
+    """Materialize w = g * v / ||v||, reducing over the axes where g has
+    size 1 (see `weight_norm_init`)."""
     v = params["v"]
-    axes = tuple(range(v.ndim - 1))
+    g = params["g"]
+    axes = tuple(i for i in range(v.ndim) if g.shape[i] == 1)
     norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + eps)
-    return params["g"] * v / norm
+    return g * v / norm
 
 
 def fold_weight_norm(params):

@@ -1,0 +1,136 @@
+"""Index-mapping-vector (IMV) monotonic alignment -- the EfficientTTS core.
+
+TPU-native implementation of the five alignment operations of the
+reference (`/root/reference/nntts/models/efficient_tts.py:287-398`):
+
+  alpha = softmax_T1(Q K^T / sqrt(D))                 (:377-398)
+  p     = [0..T1) masked                              (:287-297)
+  imv   = rescale(cumsum(relu(diff(alpha^T p))))      (:299-324)
+  e     = softmax_T2(-sigma_e (imv - p)^2) . q        (:326-345)
+  alpha'= softmax_T1(-sigma (q - e)^2)                (:347-375)
+
+Everything is float32, static-shape, and mask-driven: padded positions
+are excluded from softmaxes with a large negative fill (finite, so fully
+masked rows produce zeros after re-masking instead of NaNs -- gradient
+safe, numerically identical to the reference's -inf + masked_fill at
+float32 resolution). The T1 x T2 energy tensors are the only quadratic
+objects; on LJ-scale sequences they fit HBM comfortably, and a fused
+Pallas evaluation that never materializes alpha' is provided in
+`efficient_tts_tpu/ops/pallas/` for longer sequences.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e30
+
+
+def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Softmax with `mask` (True = valid). Fully-masked rows -> zeros."""
+    scores = jnp.where(mask, scores, _NEG)
+    m = jnp.max(scores, axis=axis, keepdims=True)
+    ex = jnp.exp(scores - m) * mask
+    denom = jnp.sum(ex, axis=axis, keepdims=True)
+    return ex / jnp.maximum(denom, 1e-30)
+
+
+def scaled_dot_attention(
+    query: jnp.ndarray, key: jnp.ndarray, key_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Single-head soft alignment (reference :377-398).
+
+    Args:
+        query: mel-encoder output [B, T2, D].
+        key: text-encoder key [B, T1, D].
+        key_mask: [B, T1] True on valid text positions.
+    Returns:
+        alpha [B, T1, T2], softmax over the *text* axis.
+    """
+    d = query.shape[-1]
+    # [B, T2, T1]
+    scores = jnp.einsum("btd,bsd->bts", query, key) / jnp.sqrt(jnp.float32(d))
+    alpha = masked_softmax(scores, key_mask[:, None, :], axis=-1)
+    return jnp.swapaxes(alpha, 1, 2)  # [B, T1, T2]
+
+
+def index_vector(mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, T] mask -> masked position indices [B, T] (reference :287-297)."""
+    t = mask.shape[-1]
+    p = jnp.arange(t, dtype=jnp.float32)[None, :]
+    return p * mask.astype(jnp.float32)
+
+
+def imv_from_alpha(
+    alpha: jnp.ndarray,
+    p: jnp.ndarray,
+    mel_mask: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """Monotonic index mapping vector (reference :299-324).
+
+    pi = alpha^T p, monotonicized with relu(diff) + cumsum, rescaled so the
+    maximum equals T1-1. Returns imv [B, T2].
+    """
+    mel_maskf = mel_mask.astype(jnp.float32)
+    # [B, T2] — matvec feeding a cumsum chain: keep full f32 precision
+    imv_dummy = jnp.einsum(
+        "bst,bs->bt", alpha, p, precision=jax.lax.Precision.HIGHEST
+    )
+    delta = jnp.maximum(imv_dummy[:, 1:] - imv_dummy[:, :-1], 0.0)
+    delta = jnp.concatenate([jnp.zeros_like(delta[:, :1]), delta], axis=-1)
+    imv = jnp.cumsum(delta, axis=-1) * mel_maskf
+    last = jnp.maximum(jnp.max(imv, axis=-1), 1e-8)
+    scale = (text_lengths.astype(jnp.float32) - 1.0) / last
+    return imv * scale[:, None]
+
+
+def aligned_positions(
+    imv: jnp.ndarray,
+    p: jnp.ndarray,
+    mel_mask: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    sigma_e: float = 0.5,
+) -> jnp.ndarray:
+    """Expected mel position per text token (reference :326-345).
+
+    e[b, i] = sum_t softmax_t(-sigma_e (imv[b,t] - p[b,i])^2) * q[b,t]
+    Returns e [B, T1].
+    """
+    # [B, T1, T2]
+    energies = -sigma_e * jnp.square(imv[:, None, :] - p[:, :, None])
+    beta = masked_softmax(energies, mel_mask[:, None, :], axis=-1)
+    q = index_vector(mel_mask)
+    e = jnp.einsum("bst,bt->bs", beta, q, precision=jax.lax.Precision.HIGHEST)
+    return e * text_mask.astype(jnp.float32)
+
+
+def alignment_from_positions(
+    e: jnp.ndarray,
+    t2: int,
+    sigma: float = 0.01,
+    mel_mask: jnp.ndarray | None = None,
+    text_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Gaussian reconstruction of the alignment matrix (reference :347-375).
+
+    alpha'[b, i, t] = softmax_i(-sigma (q[b,t] - e[b,i])^2)
+
+    `t2` is static (train: padded mel length; inference: the shape bucket
+    chosen from round(e[:, -1]) on host -- the XLA-safe replacement for the
+    reference's data-dependent `torch.round(e).item()` at :358-363).
+    """
+    q = jnp.arange(t2, dtype=jnp.float32)[None, :]
+    if mel_mask is not None:
+        q = q * mel_mask.astype(jnp.float32)
+    else:
+        q = jnp.broadcast_to(q, (e.shape[0], t2))
+    # [B, T1, T2]
+    energies = -sigma * jnp.square(q[:, None, :] - e[:, :, None])
+    if text_mask is not None:
+        alpha = masked_softmax(energies, text_mask[:, :, None], axis=1)
+    else:
+        alpha = jnp.exp(energies - jnp.max(energies, axis=1, keepdims=True))
+        alpha = alpha / jnp.maximum(jnp.sum(alpha, axis=1, keepdims=True), 1e-30)
+    return alpha
