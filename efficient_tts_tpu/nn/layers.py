@@ -126,6 +126,61 @@ def conv1d(
 
 
 # ---------------------------------------------------------------------------
+# conv2d (channels-last, NHWC) — used by the multi-period discriminators
+
+
+def conv2d_init(
+    key,
+    in_ch: int,
+    out_ch: int,
+    kernel_size: tuple,
+    dtype=jnp.float32,
+    init: str = "torch",
+) -> dict:
+    kw, kb = jax.random.split(key)
+    kh, kww = kernel_size
+    fan_in = in_ch * kh * kww
+    shape = (kh, kww, in_ch, out_ch)  # HWIO
+    if init == "torch":
+        w = kaiming_uniform(kw, shape, fan_in, dtype)
+    else:
+        w = normal_init(kw, shape, 0.01, dtype)
+    return {"w": w, "b": _bias_uniform(kb, (out_ch,), fan_in, dtype)}
+
+
+def conv2d(
+    params: dict,
+    x: jnp.ndarray,
+    stride: tuple = (1, 1),
+    padding: tuple = (0, 0),
+) -> jnp.ndarray:
+    """[B, H, W, Cin] -> [B, H', W', Cout] with symmetric torch-style padding."""
+    w = params["w"]
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    return y + params["b"]
+
+
+def avg_pool1d(x: jnp.ndarray, window: int, stride: int, padding: int) -> jnp.ndarray:
+    """torch AvgPool1d(count_include_pad=True) on [B, T, C]."""
+    s = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, window, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (padding, padding), (0, 0)),
+    )
+    return s / float(window)
+
+
+# ---------------------------------------------------------------------------
 # transposed conv1d (channels-last)
 
 
