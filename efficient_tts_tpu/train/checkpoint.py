@@ -1,0 +1,64 @@
+"""Orbax checkpointing of {params, opt_state, step}.
+
+Same semantics as the reference trainer
+(`trainers/efficient_tts_trainer.py:78-119`): `save` writes the full
+train state at `outdir/checkpoint-{step}steps`; `load` either restores
+everything (--resume) or parameters only (--pretrain,
+`load_only_params=True`). Checkpoints are sharding-aware (orbax restores
+onto the current mesh).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(outdir: str, state: dict, step: int | None = None) -> str:
+    if step is None:
+        step = int(jax.device_get(state["step"]))
+    path = os.path.join(os.path.abspath(outdir), f"checkpoint-{step}steps")
+    ckptr = _checkpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, template_state: dict, load_only_params: bool = False) -> dict:
+    """Restore a checkpoint into the structure of `template_state`.
+
+    With `load_only_params` (the reference's --pretrain mode), optimizer
+    state and step are kept from the template (fresh).
+    """
+    ckptr = _checkpointer()
+    restored = ckptr.restore(os.path.abspath(path), template_state)
+    if load_only_params:
+        return {
+            "params": restored["params"],
+            "opt_state": template_state["opt_state"],
+            "step": template_state["step"],
+        }
+    return restored
+
+
+def latest_checkpoint(outdir: str) -> str | None:
+    """Scan `outdir` for the highest-step checkpoint
+    (analog of `vocoders/utils.py:scan_checkpoint`)."""
+    if not os.path.isdir(outdir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(outdir):
+        if name.startswith("checkpoint-") and name.endswith("steps"):
+            try:
+                step = int(name[len("checkpoint-") : -len("steps")])
+            except ValueError:
+                continue
+            if step > best_step:
+                best, best_step = os.path.join(outdir, name), step
+    return best

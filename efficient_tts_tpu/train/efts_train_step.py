@@ -1,0 +1,103 @@
+"""EFTS-CNN jit-compiled train/eval steps with mesh sharding.
+
+Replaces the reference's eager loop + DDP
+(`trainers/efficient_tts_trainer.py:121-165`): one XLA graph per step --
+forward, backward, clip, Adam update -- with the batch sharded over the
+'data' mesh axis and parameters replicated (or channel-sharded over
+'model'). GSPMD inserts the gradient all-reduce that DDP did via NCCL.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import optax
+
+from efficient_tts_tpu.models import efficient_tts as efts
+from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
+from efficient_tts_tpu.parallel.sharding import batch_sharding, param_sharding
+from efficient_tts_tpu.train.state import apply_updates
+
+
+def make_train_step(cfg: EftsCNNConfig, tx: optax.GradientTransformation):
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+
+    def loss_fn(params, batch, rng):
+        out = efts.forward(
+            params,
+            cfg,
+            batch["text"],
+            batch["text_lengths"],
+            batch["mel"],
+            batch["mel_lengths"],
+            rng=rng,
+            deterministic=cfg.dropout_rate <= 0.0,
+        )
+        return out["loss"], out
+
+    @jax.jit
+    def train_step(state, batch, rng):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, rng
+        )
+        new_state = apply_updates(state, grads, tx)
+        metrics = {
+            "loss": loss,
+            "mel_loss": out["mel_loss"],
+            "duration_loss": out["duration_loss"],
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: EftsCNNConfig):
+    @jax.jit
+    def eval_step(params, batch):
+        out = efts.forward(
+            params,
+            cfg,
+            batch["text"],
+            batch["text_lengths"],
+            batch["mel"],
+            batch["mel_lengths"],
+            deterministic=True,
+        )
+        return {
+            "loss": out["loss"],
+            "mel_loss": out["mel_loss"],
+            "duration_loss": out["duration_loss"],
+            "imv": out["imv"],
+            "reconst_alpha": out["reconst_alpha"],
+            "mel_pred": out["mel_pred"],
+        }
+
+    return eval_step
+
+
+def shard_state(params, tx: optax.GradientTransformation, mesh) -> dict:
+    """Place params on the mesh per the sharding rules and build the train
+    state there. The optimizer moments are created from the *placed*
+    params (`zeros_like` inherits shardings), so they live alongside the
+    parameters they update -- no per-step resharding."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    p_shard = param_sharding(params, mesh)
+    placed_params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+    rep = NamedSharding(mesh, PartitionSpec())
+    return {
+        "params": placed_params,
+        "opt_state": tx.init(placed_params),
+        "step": jax.device_put(jnp.zeros((), jnp.int32), rep),
+    }
+
+
+def shard_batch(batch: dict, mesh) -> dict:
+    """Shard every batch array over the 'data' axis."""
+    return {
+        k: jax.device_put(v, batch_sharding(mesh, ndim=v.ndim))
+        for k, v in batch.items()
+    }
