@@ -1,0 +1,88 @@
+"""End-to-end synthesis pipeline: text ids -> waveform.
+
+The TPU-native counterpart of `nntts/bin/inference.py:97-125`: EFTS-CNN
+predicts durations and decodes mel, HiFi-GAN renders the waveform. The
+reference synthesizes one utterance at a time with a data-dependent mel
+length (`efficient_tts.py:358-363`); here synthesis is *batched* with
+static shape buckets:
+
+  stage 1 (tiny graph): text -> aligned positions e; host rounds
+      e[:, -1] and picks the smallest bucket >= max length;
+  stage 2 (bucketed graph): decode mel at the bucket length and run the
+      vocoder; the tail beyond each utterance's true length is masked.
+
+Each bucket compiles once; the jit cache makes steady-state synthesis
+allocation-free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from efficient_tts_tpu.models import efficient_tts as efts
+from efficient_tts_tpu.models import hifigan as hg
+from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
+from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+from efficient_tts_tpu.utils.masks import bucket_length, sequence_mask
+
+
+@functools.partial(jax.jit, static_argnames=("efts_cfg", "voc_cfg", "t2"))
+def synthesize_fixed(
+    efts_params: dict,
+    voc_params: dict,
+    text: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    efts_cfg: EftsCNNConfig,
+    voc_cfg: HiFiGANConfig,
+    t2: int,
+):
+    """Fully jitted text -> waveform at a static mel length `t2`.
+
+    Returns (wav [B, t2*hop], wav_lengths [B], mel [B, t2, odim]).
+    """
+    e, value, tmask = efts.infer_durations(efts_params, efts_cfg, text, text_lengths)
+    mel, _ = efts.infer_decode(efts_params, efts_cfg, value, e, tmask, t2)
+    # true per-utterance mel length from the last valid aligned position
+    last = jnp.take_along_axis(e, (text_lengths - 1)[:, None], axis=1)[:, 0]
+    mel_lengths = jnp.clip(jnp.round(last).astype(jnp.int32), 1, t2)
+    mel = mel * sequence_mask(mel_lengths, t2, dtype=mel.dtype)[:, :, None]
+    wav = hg.generator(voc_params, mel, voc_cfg)
+    wav_lengths = mel_lengths * voc_cfg.hop_size
+    wav = wav * sequence_mask(wav_lengths, t2 * voc_cfg.hop_size, dtype=wav.dtype)
+    return wav, wav_lengths, mel
+
+
+@functools.partial(jax.jit, static_argnames=("efts_cfg",))
+def predict_lengths(efts_params: dict, text, text_lengths, efts_cfg: EftsCNNConfig):
+    """Stage-1 graph: aligned positions only (for host bucket choice)."""
+    e, _, _ = efts.infer_durations(efts_params, efts_cfg, text, text_lengths)
+    last = jnp.take_along_axis(e, (text_lengths - 1)[:, None], axis=1)[:, 0]
+    return jnp.round(last).astype(jnp.int32)
+
+
+def synthesize(
+    efts_params: dict,
+    voc_params: dict,
+    text: np.ndarray,
+    text_lengths: np.ndarray,
+    efts_cfg: EftsCNNConfig = EftsCNNConfig(),
+    voc_cfg: HiFiGANConfig = HiFiGANConfig(),
+    bucket_multiple: int = 64,
+    max_t2: int = 2048,
+):
+    """Host-driven batched synthesis with automatic bucket selection.
+
+    Returns (wav [B, T_bucket*hop] numpy, wav_lengths [B] numpy).
+    """
+    mel_lengths = np.asarray(
+        jax.device_get(predict_lengths(efts_params, text, text_lengths, efts_cfg))
+    )
+    t2 = min(bucket_length(int(mel_lengths.max()), bucket_multiple), max_t2)
+    wav, wav_lengths, _ = synthesize_fixed(
+        efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2
+    )
+    return np.asarray(jax.device_get(wav)), np.asarray(jax.device_get(wav_lengths))
