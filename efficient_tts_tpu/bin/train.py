@@ -1,0 +1,148 @@
+"""Training CLI.
+
+Counterpart of `/root/reference/nntts/bin/train.py` with the same UX:
+
+    python -m efficient_tts_tpu.bin.train \
+        --config configs/lj_efts_cnn_phnseq.yaml \
+        --train_fid_scp .../train.txt --dev_fid_scp .../dev.txt \
+        --outdir exp/lj [--resume CKPT | --pretrain CKPT]
+
+Differences by design: no per-rank process launcher -- one process
+drives all local chips through a mesh; multi-host runs call
+`jax.distributed.initialize` (see `parallel/distributed.py`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="Train EFTS-CNN (TPU-native)")
+    p.add_argument("--config", required=True, help="YAML config file")
+    p.add_argument("--train_fid_scp", required=True, help="train filelist")
+    p.add_argument("--dev_fid_scp", default=None, help="dev filelist")
+    p.add_argument("--outdir", required=True, help="output directory")
+    p.add_argument("--resume", default=None, help="checkpoint to resume (full state)")
+    p.add_argument("--pretrain", default=None, help="checkpoint to warm-start (params only)")
+    p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--mesh_model", type=int, default=None,
+                   help="override model-parallel extent")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose > 1 else logging.INFO,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+
+    if args.coordinator:
+        from efficient_tts_tpu.parallel.distributed import initialize_multihost
+
+        initialize_multihost(args.coordinator, args.num_processes, args.process_id)
+
+    from efficient_tts_tpu.data.collate import collate_text_mel
+    from efficient_tts_tpu.data.dataset import TextMelDataset
+    from efficient_tts_tpu.data.loader import data_loader, infinite_loader
+    from efficient_tts_tpu.models import efficient_tts as efts
+    from efficient_tts_tpu.parallel.mesh import fit_data_extent, make_mesh
+    from efficient_tts_tpu.train import checkpoint as ckpt
+    from efficient_tts_tpu.train.efts_trainer import EftsTrainer
+    from efficient_tts_tpu.utils.config import (
+        dump_config,
+        load_config,
+        model_config_from_dict,
+        optimizer_from_dict,
+    )
+
+    config = load_config(args.config)
+    dump_config(config, args.outdir)
+
+    cfg = model_config_from_dict(config)
+    tx = optimizer_from_dict(config)
+
+    ds_params = dict(config.get("dataset_params", {}))
+    train_ds = TextMelDataset(args.train_fid_scp, **ds_params)
+    batch_size = int(config.get("batch_size", 32))
+
+    mesh_cfg = dict(config.get("mesh", {}) or {})
+    if args.mesh_model is not None:
+        mesh_cfg["model"] = args.mesh_model
+    model_extent = int(mesh_cfg.get("model", 1) or 1)
+    data_extent = mesh_cfg.get("data")
+    if data_extent is None:
+        per_host = max(batch_size // jax.process_count(), 1)
+        data_extent = fit_data_extent(
+            per_host, jax.local_device_count() // model_extent
+        )
+    mesh = make_mesh(data=int(data_extent), model=model_extent)
+    text_bucket = int(config.get("text_bucket", 16))
+    mel_bucket = int(config.get("mel_bucket", 64))
+
+    def collate(batch):
+        return collate_text_mel(batch, text_bucket, mel_bucket)
+
+    shard_id = jax.process_index()
+    num_shards = jax.process_count()
+    per_host_batch = max(batch_size // num_shards, 1)
+    train_iter = infinite_loader(
+        train_ds, per_host_batch, collate,
+        shard_id=shard_id, num_shards=num_shards,
+    )
+
+    eval_batches = []
+    if args.dev_fid_scp:
+        dev_ds = TextMelDataset(args.dev_fid_scp, **ds_params)
+        eval_batches = list(
+            data_loader(dev_ds, per_host_batch, collate, shuffle=False)
+        )[:8]
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(args.outdir)
+    except ImportError:
+        pass
+
+    trainer = EftsTrainer(
+        cfg,
+        tx,
+        train_iter,
+        eval_batches=eval_batches,
+        outdir=args.outdir,
+        mesh=mesh,
+        train_max_steps=int(config.get("train_max_steps", 1_000_000)),
+        save_interval_steps=int(config.get("save_interval_steps", 5000)),
+        eval_interval_steps=int(config.get("eval_interval_steps", 1000)),
+        log_interval_steps=int(config.get("log_interval_steps", 1000)),
+        writer=writer,
+    )
+    params = efts.init(jax.random.PRNGKey(int(config.get("seed", 0))), cfg)
+    trainer.init_state(params)
+
+    if args.resume:
+        trainer.load(args.resume, load_only_params=False)
+    elif args.pretrain:
+        trainer.load(args.pretrain, load_only_params=True)
+    else:
+        latest = ckpt.latest_checkpoint(args.outdir)
+        if latest:
+            logging.info("auto-resuming from %s", latest)
+            trainer.load(latest, load_only_params=False)
+
+    trainer.run()
+    trainer.save()
+
+
+if __name__ == "__main__":
+    main()

@@ -149,7 +149,13 @@ def load_reference_checkpoint(path: str) -> dict:
     import torch  # host-only dependency, never in the device path
 
     state = torch.load(path, map_location="cpu", weights_only=False)
-    model_sd = state["model"] if "model" in state else state
+    # trainer checkpoints use {"model": sd}; HiFi-GAN generator files use
+    # {"generator": sd} (`hifigan_model.py:25`)
+    model_sd = state
+    for key in ("model", "generator"):
+        if isinstance(state, dict) and key in state:
+            model_sd = state[key]
+            break
     out = {k: v.detach().cpu().numpy() for k, v in model_sd.items()}
     return {
         "model": out,

@@ -1,0 +1,169 @@
+"""Host-side datasets: filelists -> (text ids, mel) / vocoder segments.
+
+Counterpart of `/root/reference/nntts/datasets/taco2_data.py` (TextMelLoader)
+and `meldataset.py:96-178` (MelDataset). Runs entirely on host numpy --
+the device only ever sees padded, bucketed batches.
+
+Behavioral contracts preserved:
+  * filelist lines are `wavpath|text`, shuffled once with seed 1234
+    (`taco2_data.py:43-44`);
+  * wavs are re-based onto `wav_path` by basename and scaled by
+    1/32768 (`taco2_data.py:69-72`);
+  * mel is computed on the fly with the canonical HiFi-GAN DSP
+    (`mel_spectrogram_np`, matching `meldataset.py:49-82`);
+  * phone mode maps whitespace phones through the vocab file
+    (`taco2_data.py:80-84`); char mode uses `text_to_sequence`.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+from efficient_tts_tpu.dsp.mel import MelConfig, mel_spectrogram_np
+from efficient_tts_tpu.text import load_phone_vocab, phones_to_sequence, text_to_sequence
+
+
+def load_filepaths_and_text(filename: str, split: str = "|") -> list:
+    with open(filename, encoding="utf-8") as f:
+        return [line.strip().split(split) for line in f if line.strip()]
+
+
+def load_wav(path: str) -> tuple:
+    """Read a PCM wav -> (float array raw, sample_rate) via scipy."""
+    from scipy.io.wavfile import read
+
+    sr, data = read(path)
+    return data, sr
+
+
+class TextMelDataset:
+    """LJ-style text+mel dataset with on-the-fly mel extraction."""
+
+    def __init__(
+        self,
+        meta_file: str,
+        text_cleaners=("english_cleaners",),
+        max_wav_value: float = 32768.0,
+        sampling_rate: int = 22050,
+        wav_path: str | None = None,
+        use_phnseq: bool = False,
+        phnset_path: str | None = None,
+        mel_config: MelConfig = MelConfig(),
+        mel_cache_dir: str | None = None,
+        seed: int = 1234,
+    ):
+        self.items = load_filepaths_and_text(meta_file)
+        self.text_cleaners = list(text_cleaners)
+        self.max_wav_value = max_wav_value
+        self.sampling_rate = sampling_rate
+        self.wav_path = wav_path
+        self.use_phnseq = use_phnseq
+        self.mel_config = mel_config
+        self.mel_cache_dir = mel_cache_dir
+        if use_phnseq:
+            if phnset_path is None:
+                raise ValueError(
+                    "phnset_path is required when use_phnseq=True"
+                )
+            self.phn2idx = load_phone_vocab(phnset_path)
+        rnd = random.Random(seed)
+        rnd.shuffle(self.items)
+        if mel_cache_dir:
+            os.makedirs(mel_cache_dir, exist_ok=True)
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def get_text(self, text: str) -> np.ndarray:
+        if self.use_phnseq:
+            ids = phones_to_sequence(text, self.phn2idx)
+        else:
+            ids = text_to_sequence(text, self.text_cleaners)
+        return np.asarray(ids, dtype=np.int32)
+
+    def _resolve_wav(self, audiopath: str) -> str:
+        if self.wav_path:
+            return os.path.join(self.wav_path, os.path.basename(audiopath))
+        return audiopath
+
+    def get_mel(self, audiopath: str) -> np.ndarray:
+        """[T2, num_mels] log-mel (channels-last for the device path)."""
+        path = self._resolve_wav(audiopath)
+        cache = None
+        if self.mel_cache_dir:
+            base = os.path.splitext(os.path.basename(path))[0]
+            cache = os.path.join(self.mel_cache_dir, base + ".mel.npy")
+            if os.path.exists(cache):
+                return np.load(cache)
+        audio, sr = load_wav(path)
+        if sr != self.sampling_rate:
+            raise ValueError(f"{path}: {sr} Hz != target {self.sampling_rate} Hz")
+        audio = audio.astype(np.float32) / self.max_wav_value
+        mel = mel_spectrogram_np(audio, self.mel_config).T  # [T2, n_mels]
+        if cache:
+            np.save(cache, mel)
+        return mel
+
+    def __getitem__(self, index: int) -> tuple:
+        audiopath, text = self.items[index][0], self.items[index][1]
+        return self.get_text(text), self.get_mel(audiopath)
+
+
+class MelAudioSegmentDataset:
+    """HiFi-GAN vocoder dataset: random fixed-size waveform segments + mels.
+
+    Counterpart of `meldataset.py:96-178` (the non-fine-tuning path):
+    peak-normalize to 0.95, crop/pad `segment_size` samples, return
+    (mel [F, n_mels], audio [segment_size], mel_loss [F, n_mels]).
+    """
+
+    def __init__(
+        self,
+        files: list,
+        segment_size: int = 8192,
+        sampling_rate: int = 22050,
+        mel_config: MelConfig = MelConfig(),
+        fmax_loss: float | None = None,
+        max_wav_value: float = 32768.0,
+        seed: int = 1234,
+        split: bool = True,
+        shuffle: bool = True,
+    ):
+        self.files = list(files)
+        if shuffle:
+            random.Random(seed).shuffle(self.files)
+        self.segment_size = segment_size
+        self.sampling_rate = sampling_rate
+        self.mel_config = mel_config
+        self.loss_config = (
+            mel_config
+            if fmax_loss == mel_config.fmax
+            else MelConfig(**{**mel_config.__dict__, "fmax": fmax_loss})
+        )
+        self.max_wav_value = max_wav_value
+        self.split = split
+        self._rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, index: int) -> tuple:
+        audio, sr = load_wav(self.files[index])
+        if sr != self.sampling_rate:
+            raise ValueError(f"{self.files[index]}: {sr} != {self.sampling_rate}")
+        audio = audio.astype(np.float32) / self.max_wav_value
+        peak = np.abs(audio).max()
+        if peak > 0:
+            audio = audio / peak * 0.95
+        if self.split:
+            if len(audio) >= self.segment_size:
+                start = self._rng.randint(0, len(audio) - self.segment_size)
+                audio = audio[start : start + self.segment_size]
+            else:
+                audio = np.pad(audio, (0, self.segment_size - len(audio)))
+        mel = mel_spectrogram_np(audio, self.mel_config).T
+        mel_loss = mel_spectrogram_np(audio, self.loss_config).T
+        return mel, audio, mel_loss

@@ -1,0 +1,80 @@
+"""Epoch iterator with shuffling, sharding, and background prefetch.
+
+Replaces torch DataLoader + DistributedSampler
+(`nntts/bin/train.py:127-170`): pure-python worker threads prefetch and
+collate batches on host while the device runs the previous step. In
+multi-host runs each process takes a strided shard of the epoch
+permutation (`shard_id`/`num_shards`), the analog of
+DistributedSampler's `set_epoch` + stride sharding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+def data_loader(
+    dataset,
+    batch_size: int,
+    collate_fn,
+    shuffle: bool = True,
+    seed: int = 0,
+    epoch: int = 0,
+    shard_id: int = 0,
+    num_shards: int = 1,
+    drop_last: bool = True,
+    prefetch: int = 2,
+):
+    """Yields collated batches for one epoch."""
+    n = len(dataset)
+    if shuffle:
+        order = np.random.default_rng(seed + epoch).permutation(n)
+    else:
+        order = np.arange(n)
+    order = order[shard_id::num_shards]
+    if drop_last:
+        usable = (len(order) // batch_size) * batch_size
+        order = order[:usable]
+
+    batches = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
+    if not batches:
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for idxs in batches:
+                if stop.is_set():
+                    return
+                q.put(collate_fn([dataset[int(i)] for i in idxs]))
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()
+
+
+def infinite_loader(dataset, batch_size, collate_fn, seed=0, **kw):
+    """Endless stream over reshuffled epochs (the reference trains by step
+    count over an infinite epoch loop, `efficient_tts_trainer.py:62-76`).
+    Yields (epoch, batch)."""
+    epoch = 0
+    while True:
+        for batch in data_loader(
+            dataset, batch_size, collate_fn, seed=seed, epoch=epoch, **kw
+        ):
+            yield epoch, batch
+        epoch += 1

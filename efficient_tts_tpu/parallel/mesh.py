@@ -43,3 +43,12 @@ def make_mesh(
         raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
     grid = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def fit_data_extent(batch_size: int, n_available: int) -> int:
+    """Largest divisor of `batch_size` that is <= n_available -- the
+    usable data-parallel extent for a given per-step batch."""
+    for d in range(min(batch_size, n_available), 0, -1):
+        if batch_size % d == 0:
+            return d
+    return 1

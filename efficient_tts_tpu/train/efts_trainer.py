@@ -1,0 +1,181 @@
+"""Step-based EFTS-CNN trainer.
+
+Host driver mirroring `EfficientTTSTrainer`
+(`/root/reference/nntts/trainers/efficient_tts_trainer.py:62-281`):
+infinite epoch loop to `train_max_steps`; interval-gated logging, eval
+(with IMV/alignment/mel plots on the first eval batch) and checkpoint
+saves; tensorboard scalars averaged over the log interval. The compute
+is one jitted XLA step (`efts_train_step.py`); batches stream from the
+prefetching host loader with static-bucket shapes.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+
+import numpy as np
+import jax
+
+from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
+from efficient_tts_tpu.train import checkpoint as ckpt
+from efficient_tts_tpu.train.efts_train_step import (
+    make_eval_step,
+    make_train_step,
+    shard_batch,
+    shard_state,
+)
+from efficient_tts_tpu.train.state import create_state
+
+log = logging.getLogger(__name__)
+
+
+class EftsTrainer:
+    def __init__(
+        self,
+        cfg: EftsCNNConfig,
+        tx,
+        train_iter,
+        eval_batches=None,
+        outdir: str = "exp",
+        mesh=None,
+        train_max_steps: int = 1_000_000,
+        save_interval_steps: int = 5000,
+        eval_interval_steps: int = 1000,
+        log_interval_steps: int = 1000,
+        seed: int = 0,
+        writer=None,
+    ):
+        self.cfg = cfg
+        self.tx = tx
+        self.train_iter = train_iter
+        self.eval_batches = eval_batches or []
+        self.outdir = outdir
+        self.mesh = mesh
+        self.train_max_steps = train_max_steps
+        self.save_interval_steps = save_interval_steps
+        self.eval_interval_steps = eval_interval_steps
+        self.log_interval_steps = log_interval_steps
+        self.rng = jax.random.PRNGKey(seed)
+        self.writer = writer
+        self.state = None
+        self._train_step = make_train_step(cfg, tx)
+        self._eval_step = make_eval_step(cfg)
+        os.makedirs(outdir, exist_ok=True)
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, params):
+        if self.mesh is not None:
+            self.state = shard_state(params, self.tx, self.mesh)
+        else:
+            self.state = create_state(params, self.tx)
+
+    def save(self):
+        path = ckpt.save_checkpoint(self.outdir, self.state)
+        log.info("saved checkpoint %s", path)
+        return path
+
+    def load(self, path, load_only_params=False):
+        self.state = ckpt.load_checkpoint(path, self.state, load_only_params)
+
+    # -- loop -------------------------------------------------------------
+
+    def run(self):
+        """Train until `train_max_steps` (reference :62-76,279-281)."""
+        assert self.state is not None, "call init_state first"
+        totals = defaultdict(float)
+        count = 0
+        t_last = time.time()
+        step = int(jax.device_get(self.state["step"]))
+        try:
+            while step < self.train_max_steps:
+                epoch, batch = next(self.train_iter)
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, metrics = self._train_step(self.state, batch, sub)
+                step += 1
+                count += 1
+                for k in ("loss", "mel_loss", "duration_loss"):
+                    totals[k] += float(jax.device_get(metrics[k]))
+
+                if step % self.log_interval_steps == 0:
+                    dt = time.time() - t_last
+                    means = {k: v / max(count, 1) for k, v in totals.items()}
+                    log.info(
+                        "step %d (epoch %d): loss=%.4f mel=%.4f dur=%.4f (%.1f steps/s)",
+                        step, epoch, means["loss"], means["mel_loss"],
+                        means["duration_loss"], count / max(dt, 1e-9),
+                    )
+                    if self.writer is not None:
+                        for k, v in means.items():
+                            self.writer.add_scalar(f"train/{k}", v, step)
+                    totals.clear()
+                    count = 0
+                    t_last = time.time()
+
+                if self.eval_batches and step % self.eval_interval_steps == 0:
+                    self.evaluate(step)
+
+                if step % self.save_interval_steps == 0:
+                    self.save()
+        except KeyboardInterrupt:
+            # graceful interrupt checkpoint (reference train.py:250-253)
+            self.save()
+            raise
+        return self.state
+
+    def evaluate(self, step: int):
+        """Eval epoch with diagnostics on the first batch (reference :193-252)."""
+        totals = defaultdict(float)
+        first_out = None
+        first_batch = None
+        for batch in self.eval_batches:
+            placed = shard_batch(batch, self.mesh) if self.mesh is not None else batch
+            out = self._eval_step(self.state["params"], placed)
+            if first_out is None:
+                first_out = jax.device_get(
+                    {k: out[k] for k in ("imv", "reconst_alpha", "mel_pred")}
+                )
+                first_batch = batch
+            for k in ("loss", "mel_loss", "duration_loss"):
+                totals[k] += float(jax.device_get(out[k]))
+        n = max(len(self.eval_batches), 1)
+        means = {k: v / n for k, v in totals.items()}
+        log.info(
+            "eval step %d: loss=%.4f mel=%.4f dur=%.4f",
+            step, means["loss"], means["mel_loss"], means["duration_loss"],
+        )
+        if self.writer is not None:
+            for k, v in means.items():
+                self.writer.add_scalar(f"eval/{k}", v, step)
+        if first_out is not None:
+            self._plot_diagnostics(step, first_out, first_batch)
+        return means
+
+    def _plot_diagnostics(self, step, out, batch, max_items: int = 4):
+        from efficient_tts_tpu.utils.plotting import (
+            save_alignment_plot,
+            save_imv_plot,
+            save_mel_comparison,
+        )
+
+        imgdir = os.path.join(self.outdir, "images")
+        for i in range(min(max_items, out["imv"].shape[0])):
+            t1 = int(batch["text_lengths"][i])
+            t2 = int(batch["mel_lengths"][i])
+            save_imv_plot(
+                out["imv"][i][:t2], os.path.join(imgdir, f"step{step}_{i}_imv.png")
+            )
+            save_alignment_plot(
+                out["reconst_alpha"][i][:t1, :t2],
+                os.path.join(imgdir, f"step{step}_{i}_align.png"),
+            )
+            save_mel_comparison(
+                out["mel_pred"][i][:t2],
+                np.asarray(batch["mel"][i][:t2]),
+                os.path.join(imgdir, f"step{step}_{i}_mel.png"),
+            )

@@ -1,0 +1,82 @@
+"""YAML config loading and registry resolution.
+
+The reference names classes as YAML strings and resolves them with
+getattr over package namespaces (`nntts/bin/train.py:105-223`); here the
+same config shape resolves against explicit registries, and the merged
+config is re-dumped to `outdir/config.yml` so inference can rebuild the
+model without the original file (`train.py:98-99`, `inference.py:43-45`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import yaml
+
+
+def load_config(path: str, overrides: dict | None = None) -> dict:
+    with open(path) as f:
+        config = yaml.safe_load(f) or {}
+    if overrides:
+        config.update({k: v for k, v in overrides.items() if v is not None})
+    return config
+
+
+def dump_config(config: dict, outdir: str) -> str:
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, "config.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(config, f, sort_keys=False)
+    return path
+
+
+def model_config_from_dict(config: dict):
+    """Build the model dataclass config from `model_name`/`model_params`."""
+    from efficient_tts_tpu.models import DurationModelConfig, EftsCNNConfig
+
+    name = config.get("model_name", "EfficientTTSCNN")
+    params = dict(config.get("model_params", {}))
+    if name == "EfficientTTSCNN":
+        # translate reference-style kwargs to dataclass fields
+        params.pop("use_weighted_masking", None)  # broken/unused in reference
+        act_params = params.pop("nonlinear_activation_params", None)
+        params.pop("nonlinear_activation", None)
+        if act_params and "negative_slope" in act_params:
+            params["leaky_slope"] = act_params["negative_slope"]
+        return EftsCNNConfig(**params)
+    if name == "DurationModel":
+        return DurationModelConfig(**params)
+    raise ValueError(f"unknown model_name: {name}")
+
+
+def optimizer_from_dict(config: dict):
+    """Build the optax chain from optimizer/scheduler/grad_norm blocks."""
+    from efficient_tts_tpu.train.optim import adam_warmup, radam
+
+    opt_type = config.get("optimizer_type", "Adam")
+    opt_params = dict(config.get("optimizer_params", {}))
+    sched_params = dict(config.get("scheduler_params", {}))
+    grad_norm = config.get("grad_norm", 1.0)
+    warmup = (
+        sched_params.get("warmup_steps", 4000)
+        if config.get("scheduler_type", "WarmupLR") == "WarmupLR"
+        else None
+    )
+    if opt_type == "Adam":
+        return adam_warmup(
+            lr=float(opt_params.get("lr", 1e-3)),
+            betas=tuple(opt_params.get("betas", (0.9, 0.99))),
+            eps=float(opt_params.get("eps", 1e-9)),
+            weight_decay=float(opt_params.get("weight_decay", 0.0)),
+            amsgrad=bool(opt_params.get("amsgrad", False)),
+            grad_clip_norm=grad_norm,
+            warmup_steps=warmup,
+        )
+    if opt_type == "RAdam":
+        return radam(
+            lr=float(opt_params.get("lr", 1e-3)),
+            betas=tuple(opt_params.get("betas", (0.9, 0.999))),
+            eps=float(opt_params.get("eps", 1e-8)),
+            weight_decay=float(opt_params.get("weight_decay", 0.0)),
+        )
+    raise ValueError(f"unknown optimizer_type: {opt_type}")

@@ -1,0 +1,122 @@
+"""Data pipeline tests: dataset, collate bucketing, loader sharding."""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.io.wavfile import write as wav_write
+
+from efficient_tts_tpu.data.collate import collate_mel_audio, collate_text_mel
+from efficient_tts_tpu.data.dataset import MelAudioSegmentDataset, TextMelDataset
+from efficient_tts_tpu.data.loader import data_loader, infinite_loader
+from efficient_tts_tpu.dsp.mel import MelConfig, num_frames
+
+PHONES = ["!", "HH", "AH0", "L", "OW1", "W", "ER1", "D", "sp"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    wavdir = root / "wavs"
+    wavdir.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(6):
+        n = 22050 + i * 3000
+        t = np.arange(n) / 22050.0
+        y = (0.3 * np.sin(2 * np.pi * (200 + 20 * i) * t)).astype(np.float32)
+        pcm = (y * 32767).astype(np.int16)
+        path = wavdir / f"utt{i}.wav"
+        wav_write(str(path), 22050, pcm)
+        phones = " ".join(rng.choice(PHONES[1:], size=5 + i))
+        lines.append(f"DUMMY/utt{i}.wav|{phones}")
+    filelist = root / "train.txt"
+    filelist.write_text("\n".join(lines) + "\n")
+    phnset = root / "phnset.txt"
+    phnset.write_text("\n".join(PHONES) + "\n")
+    return {
+        "root": root,
+        "filelist": str(filelist),
+        "phnset": str(phnset),
+        "wavdir": str(wavdir),
+    }
+
+
+def test_dataset_phone_mode(corpus):
+    ds = TextMelDataset(
+        corpus["filelist"],
+        wav_path=corpus["wavdir"],
+        use_phnseq=True,
+        phnset_path=corpus["phnset"],
+    )
+    assert len(ds) == 6
+    text, mel = ds[0]
+    assert text.dtype == np.int32 and text.ndim == 1
+    assert mel.ndim == 2 and mel.shape[1] == 80
+    # mel length consistent with the DSP frame count of some source wav
+    lengths = {num_frames(22050 + i * 3000, MelConfig()) for i in range(6)}
+    assert mel.shape[0] in lengths
+
+
+def test_dataset_mel_cache(corpus, tmp_path):
+    cache = str(tmp_path / "melcache")
+    ds = TextMelDataset(
+        corpus["filelist"],
+        wav_path=corpus["wavdir"],
+        use_phnseq=True,
+        phnset_path=corpus["phnset"],
+        mel_cache_dir=cache,
+    )
+    _, mel1 = ds[0]
+    assert len(os.listdir(cache)) >= 1
+    _, mel2 = ds[0]
+    np.testing.assert_array_equal(mel1, mel2)
+
+
+def test_collate_bucketing(corpus):
+    ds = TextMelDataset(
+        corpus["filelist"],
+        wav_path=corpus["wavdir"],
+        use_phnseq=True,
+        phnset_path=corpus["phnset"],
+    )
+    batch = collate_text_mel([ds[i] for i in range(4)], text_bucket=16, mel_bucket=64)
+    assert batch["text"].shape[1] % 16 == 0
+    assert batch["mel"].shape[1] % 64 == 0
+    assert batch["mel"].shape[2] == 80
+    # sorted by text length descending (reference contract)
+    assert (np.diff(batch["text_lengths"]) <= 0).all()
+    # padded region is zero
+    for i in range(4):
+        assert (batch["text"][i, batch["text_lengths"][i] :] == 0).all()
+
+
+def test_loader_sharding(corpus):
+    ds = TextMelDataset(
+        corpus["filelist"],
+        wav_path=corpus["wavdir"],
+        use_phnseq=True,
+        phnset_path=corpus["phnset"],
+    )
+    collate = lambda b: collate_text_mel(b)
+    all_batches = list(data_loader(ds, 2, collate, shuffle=True, seed=1))
+    assert len(all_batches) == 3
+    shard0 = list(data_loader(ds, 1, collate, shuffle=True, seed=1, shard_id=0, num_shards=2))
+    shard1 = list(data_loader(ds, 1, collate, shuffle=True, seed=1, shard_id=1, num_shards=2))
+    assert len(shard0) == len(shard1) == 3
+
+    it = infinite_loader(ds, 2, collate, seed=1)
+    epochs = [next(it)[0] for _ in range(7)]
+    assert epochs[0] == 0 and epochs[-1] >= 2
+
+
+def test_vocoder_segment_dataset(corpus):
+    files = [os.path.join(corpus["wavdir"], f"utt{i}.wav") for i in range(6)]
+    ds = MelAudioSegmentDataset(files, segment_size=8192)
+    mel, audio, mel_loss = ds[0]
+    assert audio.shape == (8192,)
+    assert mel.shape == (num_frames(8192), 80)
+    assert mel_loss.shape == mel.shape
+    batch = collate_mel_audio([ds[i] for i in range(3)])
+    assert batch["audio"].shape == (3, 8192)
+    assert batch["mel"].shape[0] == 3
