@@ -1,0 +1,87 @@
+"""HiFi-GAN vocoder training CLI (new capability vs the reference, which
+ships discriminators/losses but no vocoder trainer -- SURVEY.md §2.5).
+
+    python -m efficient_tts_tpu.bin.train_vocoder \
+        --wav_scp wavs.txt --outdir exp_vocoder [--config hifigan.yaml]
+
+`--wav_scp` is a file with one wav path per line (or `path|text` lines,
+text ignored).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="Train HiFi-GAN vocoder (TPU-native)")
+    p.add_argument("--wav_scp", required=True)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--config", default=None, help="optional YAML overriding defaults")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--train_max_steps", type=int, default=400000)
+    p.add_argument("--use_stft_loss", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+
+    from efficient_tts_tpu.data.collate import collate_mel_audio
+    from efficient_tts_tpu.data.dataset import MelAudioSegmentDataset
+    from efficient_tts_tpu.data.loader import infinite_loader
+    from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+    from efficient_tts_tpu.train import checkpoint as ckpt
+    from efficient_tts_tpu.train.hifigan_train_step import (
+        init_gan_state,
+        make_gan_train_step,
+    )
+    from efficient_tts_tpu.train.hifigan_trainer import HiFiGANTrainer
+    from efficient_tts_tpu.train.optim import hifigan_adam
+    from efficient_tts_tpu.utils.config import load_config
+
+    config = load_config(args.config) if args.config else {}
+    voc_cfg = HiFiGANConfig(
+        **{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in config.get("vocoder_params", {}).items()
+        }
+    )
+    lr = float(config.get("learning_rate", 2e-4))
+    betas = tuple(config.get("adam_betas", (0.8, 0.99)))
+    lr_decay = float(config.get("lr_decay", 0.999))
+
+    with open(args.wav_scp) as f:
+        files = [line.strip().split("|")[0] for line in f if line.strip()]
+    ds = MelAudioSegmentDataset(files, segment_size=voc_cfg.segment_size)
+    steps_per_epoch = max(len(ds) // args.batch_size, 1)
+
+    gen_tx = hifigan_adam(lr, betas, lr_decay, steps_per_epoch)
+    disc_tx = hifigan_adam(lr, betas, lr_decay, steps_per_epoch)
+    state = init_gan_state(jax.random.PRNGKey(0), voc_cfg, gen_tx, disc_tx)
+    step = make_gan_train_step(
+        voc_cfg, gen_tx, disc_tx, use_stft_loss=args.use_stft_loss
+    )
+
+    train_iter = infinite_loader(ds, args.batch_size, collate_mel_audio)
+    trainer = HiFiGANTrainer(
+        step, state, train_iter, outdir=args.outdir,
+        train_max_steps=args.train_max_steps,
+    )
+    if args.resume:
+        trainer.load(args.resume)
+    else:
+        latest = ckpt.latest_checkpoint(args.outdir)
+        if latest:
+            trainer.load(latest)
+    trainer.run()
+    trainer.save()
+
+
+if __name__ == "__main__":
+    main()

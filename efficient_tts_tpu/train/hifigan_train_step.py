@@ -1,0 +1,135 @@
+"""HiFi-GAN adversarial training step (generator + MPD + MSD).
+
+The reference ships the discriminators and GAN losses
+(`hifigan_model.py:148-302`) and the segment dataset (`meldataset.py:96-178`)
+but no vocoder trainer (SURVEY.md §2.5); this module supplies it,
+following the official HiFi-GAN recipe the reference's config encodes
+(`HiFiGAN_LJ_V1/config.json`: Adam lr 2e-4 betas (0.8, 0.99), LSGAN,
+segment 8192, mel-L1 weight 45, feature-matching x2):
+
+  D step: LSGAN real/fake on (y, stop_grad(G(mel))) for MPD + MSD
+  G step: 45 * L1(mel(G(mel)), mel_target) + feature matching + LSGAN
+
+One jitted XLA graph runs D update then G update; both optimizers'
+states live in a single train-state pytree. The mel-of-generated-audio
+reuses the canonical jit DSP (`dsp/mel.py`), so the whole GAN step is a
+single compiled program -- no host round-trips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from efficient_tts_tpu.dsp.mel import MelConfig, mel_spectrogram
+from efficient_tts_tpu.losses.gan import (
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+)
+from efficient_tts_tpu.losses.stft_loss import multi_resolution_stft_loss
+from efficient_tts_tpu.models import hifigan as hg
+from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+
+
+def init_gan_state(key, voc_cfg: HiFiGANConfig, gen_tx, disc_tx) -> dict:
+    kg, kp, ks = jax.random.split(key, 3)
+    gen = hg.init_generator(kg, voc_cfg)
+    mpd = hg.init_mpd(kp)
+    msd = hg.init_msd(ks)
+    return {
+        "gen": {"params": gen, "opt_state": gen_tx.init(gen)},
+        "disc": {
+            "params": {"mpd": mpd, "msd": msd},
+            "opt_state": disc_tx.init({"mpd": mpd, "msd": msd}),
+        },
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def make_gan_train_step(
+    voc_cfg: HiFiGANConfig,
+    gen_tx,
+    disc_tx,
+    mel_cfg: MelConfig = MelConfig(),
+    mel_loss_weight: float = 45.0,
+    use_stft_loss: bool = False,
+    stft_loss_weight: float = 1.0,
+):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: {"mel": [B, F, n_mels] (generator input),
+            "audio": [B, S] ground-truth segment,
+            "mel_loss": [B, F, n_mels] mel-loss target (fmax_loss DSP)}.
+    """
+
+    def d_loss_fn(d_params, y, y_hat):
+        mpd_r, mpd_g, _, _ = hg.mpd_forward(d_params["mpd"], y, y_hat)
+        loss_mpd, _, _ = discriminator_loss(mpd_r, mpd_g)
+        msd_r, msd_g, _, _ = hg.msd_forward(d_params["msd"], y, y_hat)
+        loss_msd, _, _ = discriminator_loss(msd_r, msd_g)
+        return loss_mpd + loss_msd, (loss_mpd, loss_msd)
+
+    def g_loss_fn(g_params, d_params, mel_in, y, mel_target):
+        y_hat = hg.generator(g_params, mel_in, voc_cfg)
+        mel_hat = jnp.swapaxes(mel_spectrogram(y_hat, mel_cfg), 1, 2)
+        loss_mel = jnp.mean(jnp.abs(mel_hat - mel_target)) * mel_loss_weight
+
+        mpd_r, mpd_g, fmap_r_p, fmap_g_p = hg.mpd_forward(d_params["mpd"], y, y_hat)
+        msd_r, msd_g, fmap_r_s, fmap_g_s = hg.msd_forward(d_params["msd"], y, y_hat)
+        loss_fm = feature_loss(fmap_r_p, fmap_g_p) + feature_loss(fmap_r_s, fmap_g_s)
+        adv_p, _ = generator_loss(mpd_g)
+        adv_s, _ = generator_loss(msd_g)
+        loss = loss_mel + loss_fm + adv_p + adv_s
+        aux = {"mel_l1": loss_mel / mel_loss_weight, "fm": loss_fm,
+               "adv": adv_p + adv_s}
+        if use_stft_loss:
+            sc, mag = multi_resolution_stft_loss(y_hat, y)
+            loss = loss + stft_loss_weight * (sc + mag)
+            aux["stft_sc"] = sc
+            aux["stft_mag"] = mag
+        return loss, (y_hat, aux)
+
+    @jax.jit
+    def train_step(state, batch):
+        mel_in = batch["mel"]
+        y = batch["audio"]
+        mel_target = batch["mel_loss"]
+
+        # --- discriminator update (fake detached) ---
+        y_hat = jax.lax.stop_gradient(
+            hg.generator(state["gen"]["params"], mel_in, voc_cfg)
+        )
+        (d_loss, (l_mpd, l_msd)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state["disc"]["params"], y, y_hat)
+        d_updates, d_opt = disc_tx.update(
+            d_grads, state["disc"]["opt_state"], state["disc"]["params"]
+        )
+        d_params = optax.apply_updates(state["disc"]["params"], d_updates)
+
+        # --- generator update (against the updated discriminators) ---
+        (g_loss, (_, aux)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state["gen"]["params"], d_params, mel_in, y, mel_target
+        )
+        g_updates, g_opt = gen_tx.update(
+            g_grads, state["gen"]["opt_state"], state["gen"]["params"]
+        )
+        g_params = optax.apply_updates(state["gen"]["params"], g_updates)
+
+        new_state = {
+            "gen": {"params": g_params, "opt_state": g_opt},
+            "disc": {"params": d_params, "opt_state": d_opt},
+            "step": state["step"] + 1,
+        }
+        metrics = {
+            "d_loss": d_loss,
+            "d_mpd": l_mpd,
+            "d_msd": l_msd,
+            "g_loss": g_loss,
+            **aux,
+        }
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,85 @@
+"""Host driver for HiFi-GAN vocoder training.
+
+Mirrors the step/interval semantics of the EFTS trainer
+(`efts_trainer.py`) with the GAN train step; checkpoints carry both
+generator and discriminator states so training resumes exactly
+(the reference has no vocoder trainer to mirror -- see SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+
+import jax
+
+from efficient_tts_tpu.train import checkpoint as ckpt
+
+log = logging.getLogger(__name__)
+
+
+class HiFiGANTrainer:
+    def __init__(
+        self,
+        train_step,
+        state,
+        train_iter,
+        outdir: str = "exp_vocoder",
+        train_max_steps: int = 400_000,
+        save_interval_steps: int = 5000,
+        log_interval_steps: int = 100,
+        writer=None,
+    ):
+        self.train_step = train_step
+        self.state = state
+        self.train_iter = train_iter
+        self.outdir = outdir
+        self.train_max_steps = train_max_steps
+        self.save_interval_steps = save_interval_steps
+        self.log_interval_steps = log_interval_steps
+        self.writer = writer
+        os.makedirs(outdir, exist_ok=True)
+
+    def save(self):
+        path = ckpt.save_checkpoint(self.outdir, self.state)
+        log.info("saved vocoder checkpoint %s", path)
+        return path
+
+    def load(self, path):
+        self.state = ckpt.load_checkpoint(path, self.state)
+
+    def run(self):
+        totals = defaultdict(float)
+        count = 0
+        t_last = time.time()
+        step = int(jax.device_get(self.state["step"]))
+        try:
+            while step < self.train_max_steps:
+                _, batch = next(self.train_iter)
+                self.state, metrics = self.train_step(self.state, batch)
+                step += 1
+                count += 1
+                for k, v in metrics.items():
+                    totals[k] += float(jax.device_get(v))
+                if step % self.log_interval_steps == 0:
+                    dt = time.time() - t_last
+                    means = {k: v / count for k, v in totals.items()}
+                    log.info(
+                        "step %d: g=%.3f d=%.3f mel_l1=%.3f (%.2f steps/s)",
+                        step, means.get("g_loss", 0), means.get("d_loss", 0),
+                        means.get("mel_l1", 0), count / max(dt, 1e-9),
+                    )
+                    if self.writer is not None:
+                        for k, v in means.items():
+                            self.writer.add_scalar(f"vocoder/{k}", v, step)
+                    totals.clear()
+                    count = 0
+                    t_last = time.time()
+                if step % self.save_interval_steps == 0:
+                    self.save()
+        except KeyboardInterrupt:
+            self.save()
+            raise
+        return self.state
