@@ -51,9 +51,12 @@ def main():
     text = rng.integers(1, 76, size=(b, t1)).astype(np.int32)
     text_lengths = np.full((b,), t1, np.int32)
 
+    import jax.numpy as jnp
+
     def run():
         wav, _, _ = synthesize_fixed(
-            efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2
+            efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2,
+            compute_dtype=jnp.bfloat16,
         )
         return wav
 

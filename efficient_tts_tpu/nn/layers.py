@@ -55,7 +55,10 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> dict:
 
 
 def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, params["w"]) + params["b"]
+    y = jnp.dot(
+        x, params["w"].astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return y + params["b"].astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -114,15 +117,15 @@ def conv1d(
         padding = [(padding, padding)]
     y = jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(stride,),
         padding=padding,
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=x.dtype,
-    )
-    return y + params["b"]
+        preferred_element_type=jnp.float32,  # MXU: bf16 in, f32 accumulate
+    ).astype(x.dtype)
+    return y + params["b"].astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -158,13 +161,13 @@ def conv2d(
     w = params["w"]
     y = jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=stride,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype,
-    )
-    return y + params["b"]
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + params["b"].astype(x.dtype)
 
 
 def avg_pool1d(x: jnp.ndarray, window: int, stride: int, padding: int) -> jnp.ndarray:
@@ -222,14 +225,14 @@ def conv_transpose1d(
     pad = k - 1 - padding
     y = jax.lax.conv_general_dilated(
         x,
-        jnp.flip(w, 0),  # transpose conv correlates with the flipped kernel
+        jnp.flip(w, 0).astype(x.dtype),  # transpose conv = flipped-kernel corr
         window_strides=(1,),
         padding=[(pad, pad)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=x.dtype,
-    )
-    return y + params["b"]
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + params["b"].astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,9 @@ from efficient_tts_tpu.models.hifigan import HiFiGANConfig
 from efficient_tts_tpu.utils.masks import bucket_length, sequence_mask
 
 
-@functools.partial(jax.jit, static_argnames=("efts_cfg", "voc_cfg", "t2"))
+@functools.partial(
+    jax.jit, static_argnames=("efts_cfg", "voc_cfg", "t2", "compute_dtype")
+)
 def synthesize_fixed(
     efts_params: dict,
     voc_params: dict,
@@ -39,18 +41,23 @@ def synthesize_fixed(
     efts_cfg: EftsCNNConfig,
     voc_cfg: HiFiGANConfig,
     t2: int,
+    compute_dtype=None,
 ):
     """Fully jitted text -> waveform at a static mel length `t2`.
 
     Returns (wav [B, t2*hop], wav_lengths [B], mel [B, t2, odim]).
+    `compute_dtype=jnp.bfloat16` runs decoder + vocoder conv stacks in
+    bf16 on the MXU (alignment math stays float32).
     """
     e, value, tmask = efts.infer_durations(efts_params, efts_cfg, text, text_lengths)
-    mel, _ = efts.infer_decode(efts_params, efts_cfg, value, e, tmask, t2)
+    mel, _ = efts.infer_decode(
+        efts_params, efts_cfg, value, e, tmask, t2, compute_dtype=compute_dtype
+    )
     # true per-utterance mel length from the last valid aligned position
     last = jnp.take_along_axis(e, (text_lengths - 1)[:, None], axis=1)[:, 0]
     mel_lengths = jnp.clip(jnp.round(last).astype(jnp.int32), 1, t2)
     mel = mel * sequence_mask(mel_lengths, t2, dtype=mel.dtype)[:, :, None]
-    wav = hg.generator(voc_params, mel, voc_cfg)
+    wav = hg.generator(voc_params, mel, voc_cfg, compute_dtype=compute_dtype)
     wav_lengths = mel_lengths * voc_cfg.hop_size
     wav = wav * sequence_mask(wav_lengths, t2 * voc_cfg.hop_size, dtype=wav.dtype)
     return wav, wav_lengths, mel
