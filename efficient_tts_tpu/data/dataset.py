@@ -39,6 +39,20 @@ def load_wav(path: str) -> tuple:
     return data, sr
 
 
+def load_wav_float(path: str) -> tuple:
+    """Read a wav -> (float32 in [-1, 1], sample_rate), preferring the
+    native C++ decoder (`native/mel_native.cc`) with a scipy fallback."""
+    from efficient_tts_tpu import native
+
+    decoded = native.decode_wav(path)
+    if decoded is not None:
+        return decoded
+    data, sr = load_wav(path)
+    if data.dtype == np.int16:
+        return data.astype(np.float32) / 32768.0, sr
+    return data.astype(np.float32), sr
+
+
 class TextMelDataset:
     """LJ-style text+mel dataset with on-the-fly mel extraction."""
 
@@ -98,11 +112,21 @@ class TextMelDataset:
             cache = os.path.join(self.mel_cache_dir, base + ".mel.npy")
             if os.path.exists(cache):
                 return np.load(cache)
-        audio, sr = load_wav(path)
+        from efficient_tts_tpu import native
+
+        decoded = native.decode_wav(path)
+        if decoded is not None:
+            audio, sr = decoded
+        else:
+            raw, sr = load_wav(path)
+            audio = raw.astype(np.float32) / self.max_wav_value
         if sr != self.sampling_rate:
             raise ValueError(f"{path}: {sr} Hz != target {self.sampling_rate} Hz")
-        audio = audio.astype(np.float32) / self.max_wav_value
-        mel = mel_spectrogram_np(audio, self.mel_config).T  # [T2, n_mels]
+        mel_native = native.mel_spectrogram(audio, self.mel_config)
+        if mel_native is not None:
+            mel = mel_native.T  # [T2, n_mels]
+        else:
+            mel = mel_spectrogram_np(audio, self.mel_config).T
         if cache:
             np.save(cache, mel)
         return mel
