@@ -72,6 +72,10 @@ class EftsCNNConfig:
     delta_e_method_1: bool = True
     share_text_encoder_key_value: bool = False
     use_mel_query_fc: bool = False
+    # "bfloat16" runs the conv stacks + big matmuls in bf16 with f32 MXU
+    # accumulation (params stay f32); the IMV alignment chain is always
+    # f32. None/"float32" = full precision (parity mode).
+    compute_dtype: str | None = None
 
 
 def init(key, cfg: EftsCNNConfig) -> dict:
@@ -106,9 +110,18 @@ def init(key, cfg: EftsCNNConfig) -> dict:
     return params
 
 
+def _compute_dtype(cfg: EftsCNNConfig):
+    if cfg.compute_dtype in (None, "float32", "f32"):
+        return None
+    return jnp.dtype(cfg.compute_dtype)
+
+
 def _encode_text(params, cfg: EftsCNNConfig, text, text_mask, rng, deterministic):
     """text ids [B, T1] -> (key [B,T1,C], value [B,T1,C]), masked."""
     h = embedding(params["text_embedding"], text)  # [B, T1, C]
+    cdt = _compute_dtype(cfg)
+    if cdt is not None:
+        h = h.astype(cdt)
     h = res_conv_block(
         params["text_encoder"], h, cfg.leaky_slope, cfg.dropout_rate, rng,
         deterministic,
@@ -152,7 +165,9 @@ def forward(
     )
 
     # mel query (training only; reference :161-164)
-    mel_h = leaky_relu(linear(params["mel_prenet"], speech), cfg.leaky_slope)
+    cdt = _compute_dtype(cfg)
+    speech_c = speech.astype(cdt) if cdt is not None else speech
+    mel_h = leaky_relu(linear(params["mel_prenet"], speech_c), cfg.leaky_slope)
     if not deterministic and cfg.dropout_rate > 0:
         mel_h = dropout(r_pre, mel_h, cfg.dropout_rate, deterministic=False)
     mel_h = res_conv_block(
@@ -174,14 +189,19 @@ def forward(
     reconst_alpha = reconst_alpha * text_mel_mask.astype(reconst_alpha.dtype)
 
     # expand text values to mel frames: [B, T2, C] = alpha'^T V (reference :190-194)
-    expanded = jnp.einsum("bst,bsc->btc", reconst_alpha, text_value)
+    alpha_c = reconst_alpha.astype(cdt) if cdt is not None else reconst_alpha
+    expanded = jnp.einsum(
+        "bst,bsc->btc", alpha_c, text_value, preferred_element_type=jnp.float32
+    )
+    if cdt is not None:
+        expanded = expanded.astype(cdt)
     expanded = expanded * mel_mask.astype(expanded.dtype)[:, :, None]
 
     dec = res_conv_block(
         params["decoder"], expanded, cfg.leaky_slope, cfg.dropout_rate, r_dec,
         deterministic,
     )
-    mel_pred = linear(params["mel_out"], dec)
+    mel_pred = linear(params["mel_out"], dec).astype(jnp.float32)
     mel_pred = mel_pred * mel_mask.astype(mel_pred.dtype)[:, :, None]
 
     # duration target from detached aligned positions (reference :203-216)
@@ -197,7 +217,7 @@ def forward(
         dropout_rate=cfg.dropout_rate,
         rng=r_dur,
         deterministic=deterministic,
-    )
+    ).astype(jnp.float32)
 
     mel_loss, dur_loss = fastspeech_loss(
         mel_pred, speech, dur_pred, log_delta_e, text_mask, mel_mask,

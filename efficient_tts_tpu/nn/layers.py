@@ -123,8 +123,11 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,  # MXU: bf16 in, f32 accumulate
-    ).astype(x.dtype)
+        # MXU accumulates f32 internally regardless of output dtype; a
+        # f32 preferred_element_type breaks the conv transpose (autodiff)
+        # rule for bf16 operands, so outputs stay in the compute dtype.
+        preferred_element_type=x.dtype,
+    )
     return y + params["b"].astype(x.dtype)
 
 
@@ -165,8 +168,8 @@ def conv2d(
         window_strides=stride,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        preferred_element_type=x.dtype,
+    )
     return y + params["b"].astype(x.dtype)
 
 
@@ -230,8 +233,8 @@ def conv_transpose1d(
         padding=[(pad, pad)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        preferred_element_type=x.dtype,
+    )
     return y + params["b"].astype(x.dtype)
 
 

@@ -49,8 +49,11 @@ def scaled_dot_attention(
         alpha [B, T1, T2], softmax over the *text* axis.
     """
     d = query.shape[-1]
-    # [B, T2, T1]
-    scores = jnp.einsum("btd,bsd->bts", query, key) / jnp.sqrt(jnp.float32(d))
+    # [B, T2, T1] — f32 accumulation even for bf16 inputs; the alignment
+    # chain downstream (cumsum/rescale) is precision-sensitive
+    scores = jnp.einsum(
+        "btd,bsd->bts", query, key, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(d))
     alpha = masked_softmax(scores, key_mask[:, None, :], axis=-1)
     return jnp.swapaxes(alpha, 1, 2)  # [B, T1, T2]
 
