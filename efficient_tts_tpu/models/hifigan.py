@@ -309,13 +309,93 @@ def period_discriminator(
     return h.reshape(b, -1), fmap
 
 
-def init_scale_discriminator(key) -> dict:
+# ---------------------------------------------------------------------------
+# spectral norm (first MSD discriminator, `hifigan_model.py:243`)
+#
+# torch applies spectral_norm to the weight matrix [out, in*k] with one
+# power iteration per training forward; functionally the u/v vectors are
+# explicit state: {w_orig, u, v, b}. `spectral_power_iteration` advances
+# u/v (called once per GAN step, outside the gradient); `_sn_kernel`
+# normalizes with the current u/v exactly like torch's compute_weight.
+
+
+def spectral_norm_init(key, conv_params: dict) -> dict:
+    w = conv_params["w"]  # [k, in, out]
+    out_ch = w.shape[-1]
+    in_k = w.shape[0] * w.shape[1]
+    ku, kv = jax.random.split(key)
+    u = jax.random.normal(ku, (out_ch,))
+    v = jax.random.normal(kv, (in_k,))
+    return {
+        "w_orig": w,
+        "u": u / jnp.linalg.norm(u),
+        "v": v / jnp.linalg.norm(v),
+        "b": conv_params["b"],
+    }
+
+
+def _sn_matrix(w):
+    """WIO [k, in, out] -> torch spectral-norm matrix [out, k*in]."""
+    return w.reshape(-1, w.shape[-1]).T
+
+
+def _sn_kernel(p: dict) -> dict:
+    # u/v are buffers (torch semantics): no gradient flows through them
+    u = jax.lax.stop_gradient(p["u"])
+    v = jax.lax.stop_gradient(p["v"])
+    w_mat = _sn_matrix(p["w_orig"])
+    sigma = jnp.dot(u, w_mat @ v)
+    return {"w": p["w_orig"] / sigma, "b": p["b"]}
+
+
+def spectral_power_iteration(p: dict, eps: float = 1e-12) -> dict:
+    """One torch-style power iteration (v then u), gradients stopped."""
+    w_mat = jax.lax.stop_gradient(_sn_matrix(p["w_orig"]))
+    v = w_mat.T @ p["u"]
+    v = v / jnp.maximum(jnp.linalg.norm(v), eps)
+    u = w_mat @ v
+    u = u / jnp.maximum(jnp.linalg.norm(u), eps)
+    return {**p, "u": jax.lax.stop_gradient(u), "v": jax.lax.stop_gradient(v)}
+
+
+def _resolve_kernel(p: dict) -> dict:
+    if "w_orig" in p:
+        return _sn_kernel(p)
+    return maybe_wn_kernel(p)
+
+
+def msd_power_iteration(msd_params: dict) -> dict:
+    """Advance all spectral-norm u/v state in an MSD param tree."""
+
+    def visit(p):
+        if isinstance(p, dict):
+            if "w_orig" in p:
+                return spectral_power_iteration(p)
+            return {k: visit(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [visit(v) for v in p]
+        return p
+
+    return visit(msd_params)
+
+
+def init_scale_discriminator(key, use_spectral_norm: bool = False) -> dict:
     specs = _SCALE_SPECS
-    keys = jax.random.split(key, len(specs) + 1)
+    keys = jax.random.split(key, 2 * (len(specs) + 1))
     convs = []
     for i, (ic, oc, k, s, g, p) in enumerate(specs):
-        convs.append(weight_norm_init(conv1d_init(keys[i], ic // g, oc, k)))
-    post = weight_norm_init(conv1d_init(keys[-1], 1024, 1, 3))
+        base = conv1d_init(keys[i], ic // g, oc, k)
+        convs.append(
+            spectral_norm_init(keys[len(specs) + 1 + i], base)
+            if use_spectral_norm
+            else weight_norm_init(base)
+        )
+    post = conv1d_init(keys[len(specs)], 1024, 1, 3)
+    post = (
+        spectral_norm_init(keys[-1], post)
+        if use_spectral_norm
+        else weight_norm_init(post)
+    )
     return {"convs": convs, "conv_post": post}
 
 
@@ -332,14 +412,17 @@ _SCALE_SPECS = [
 
 
 def scale_discriminator(params: dict, x: jnp.ndarray):
-    """`DiscriminatorS` (`hifigan_model.py:211-236`). x: [B, T] waveform."""
+    """`DiscriminatorS` (`hifigan_model.py:211-236`). x: [B, T] waveform.
+
+    Kernels resolve through weight norm or spectral norm depending on the
+    param structure (the first MSD discriminator is spectral-normed)."""
     h = x[:, :, None]  # [B, T, 1]
     fmap = []
     for c, (ic, oc, k, s, g, p) in zip(params["convs"], _SCALE_SPECS):
-        h = conv1d(maybe_wn_kernel(c), h, stride=s, padding=p, groups=g)
+        h = conv1d(_resolve_kernel(c), h, stride=s, padding=p, groups=g)
         h = leaky_relu(h, LRELU_SLOPE)
         fmap.append(h)
-    h = conv1d(maybe_wn_kernel(params["conv_post"]), h, padding=1)
+    h = conv1d(_resolve_kernel(params["conv_post"]), h, padding=1)
     fmap.append(h)
     return h.reshape(h.shape[0], -1), fmap
 
@@ -370,14 +453,17 @@ def mpd_forward(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray):
 
 
 def init_msd(key) -> dict:
-    """`MultiScaleDiscriminator` (`:239-250`): 3 scales, 2 avg-pools.
-
-    The first discriminator uses spectral norm in the reference; here all
-    three are weight-normed and the LSGAN objective is unchanged -- the
-    spectral-norm power-iteration state is a planned refinement
-    (functional-state thread through the GAN train step)."""
+    """`MultiScaleDiscriminator` (`:239-250`): 3 scales, 2 avg-pools; the
+    first discriminator spectral-normed (`:243`), the rest weight-normed.
+    The GAN train step advances the power-iteration state once per step
+    via `msd_power_iteration`."""
     keys = jax.random.split(key, 3)
-    return {"discriminators": [init_scale_discriminator(k) for k in keys]}
+    return {
+        "discriminators": [
+            init_scale_discriminator(k, use_spectral_norm=(i == 0))
+            for i, k in enumerate(keys)
+        ]
+    }
 
 
 def msd_forward(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray):

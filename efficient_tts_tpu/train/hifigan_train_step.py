@@ -97,6 +97,15 @@ def make_gan_train_step(
         y = batch["audio"]
         mel_target = batch["mel_loss"]
 
+        # advance spectral-norm power iteration (torch does this inside the
+        # training forward; functionally it's explicit per-step state)
+        disc_params = dict(state["disc"]["params"])
+        disc_params["msd"] = hg.msd_power_iteration(disc_params["msd"])
+        state = {
+            **state,
+            "disc": {"params": disc_params, "opt_state": state["disc"]["opt_state"]},
+        }
+
         # --- discriminator update (fake detached) ---
         y_hat = jax.lax.stop_gradient(
             hg.generator(state["gen"]["params"], mel_in, voc_cfg)
