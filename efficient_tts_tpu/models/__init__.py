@@ -5,11 +5,19 @@ the package namespace (`nntts/bin/train.py:173-176`); here the registry
 maps names to (config_cls, init, forward) module triples.
 """
 
-from efficient_tts_tpu.models import duration_model, efficient_tts  # noqa: F401
+from efficient_tts_tpu.models import (  # noqa: F401
+    duration_model,
+    efficient_tts,
+    efficient_tts_transformer,
+)
 from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig  # noqa: F401
+from efficient_tts_tpu.models.efficient_tts_transformer import (  # noqa: F401
+    EftsTransformerConfig,
+)
 from efficient_tts_tpu.models.duration_model import DurationModelConfig  # noqa: F401
 
 MODEL_REGISTRY = {
     "EfficientTTSCNN": efficient_tts,
+    "EfficientTTSTransformer": efficient_tts_transformer,
     "DurationModel": duration_model,
 }

@@ -1,0 +1,199 @@
+"""EFTS-Transformer: EfficientTTS with transformer encoders/decoder.
+
+The EfficientTTS paper (arXiv:2012.03500) defines both CNN and
+Transformer variants; the reference repo ships only EFTS-CNN and its
+transformer stack is import-broken (`transformer_block.py:14` imports a
+nonexistent `Conv1dLinear` -- SURVEY.md §2.2). This module provides a
+working variant: the IMV alignment machinery (`ops/alignment.py`) is
+shared verbatim with EFTS-CNN; text/mel encoders and the decoder are
+transformer blocks with scaled positional encodings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from efficient_tts_tpu.losses.fastspeech import fastspeech_loss
+from efficient_tts_tpu.nn.attention import add_positional_encoding
+from efficient_tts_tpu.nn.duration_predictor import (
+    duration_predictor,
+    duration_predictor_infer,
+    duration_predictor_init,
+)
+from efficient_tts_tpu.nn.layers import (
+    embedding,
+    embedding_init,
+    leaky_relu,
+    linear,
+    linear_init,
+)
+from efficient_tts_tpu.nn.transformer import transformer_block, transformer_block_init
+from efficient_tts_tpu.ops.alignment import (
+    aligned_positions,
+    alignment_from_positions,
+    imv_from_alpha,
+    index_vector,
+    scaled_dot_attention,
+)
+from efficient_tts_tpu.utils.masks import sequence_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class EftsTransformerConfig:
+    num_symbols: int = 148
+    odim: int = 80
+    n_channels: int = 384
+    n_heads: int = 4
+    ff_hidden: int = 1536
+    n_text_encoder_layer: int = 4
+    n_mel_encoder_layer: int = 2
+    n_decoder_layer: int = 4
+    n_duration_layer: int = 2
+    dropout_rate: float = 0.1
+    use_masking: bool = True
+    duration_offset: float = 1.0
+    sigma: float = 0.01
+    sigma_e: float = 0.5
+    use_conv_ff: bool = True
+    kernel_size: int = 3
+
+
+def init(key, cfg: EftsTransformerConfig) -> dict:
+    keys = jax.random.split(key, 9)
+    c = cfg.n_channels
+    return {
+        "text_embedding": embedding_init(keys[0], cfg.num_symbols, c),
+        "text_encoder": transformer_block_init(
+            keys[1], cfg.n_text_encoder_layer, c, cfg.n_heads, cfg.ff_hidden,
+            cfg.use_conv_ff, cfg.kernel_size,
+        ),
+        "text_key": linear_init(keys[2], c, c),
+        "text_value": linear_init(keys[3], c, c),
+        "mel_prenet": linear_init(keys[4], cfg.odim, c),
+        "mel_encoder": transformer_block_init(
+            keys[5], cfg.n_mel_encoder_layer, c, cfg.n_heads, cfg.ff_hidden,
+            cfg.use_conv_ff, cfg.kernel_size,
+        ),
+        "decoder": transformer_block_init(
+            keys[6], cfg.n_decoder_layer, c, cfg.n_heads, cfg.ff_hidden,
+            cfg.use_conv_ff, cfg.kernel_size,
+        ),
+        "mel_out": linear_init(keys[7], c, cfg.odim),
+        "duration_predictor": duration_predictor_init(
+            keys[8], c, cfg.n_duration_layer, c
+        ),
+        "pe_scale": jnp.ones(()),
+    }
+
+
+def _encode_text(params, cfg, text, text_mask, rng, deterministic):
+    h = embedding(params["text_embedding"], text)
+    h = add_positional_encoding(h, scale=params["pe_scale"])
+    h = transformer_block(
+        params["text_encoder"], h, cfg.n_heads,
+        mask=text_mask[:, None, :], use_conv_ff=cfg.use_conv_ff,
+        dropout_rate=cfg.dropout_rate, rng=rng, deterministic=deterministic,
+    )
+    maskf = text_mask.astype(h.dtype)[:, :, None]
+    key = linear(params["text_key"], h) * maskf
+    value = linear(params["text_value"], h) * maskf
+    return key, value
+
+
+def forward(
+    params: dict,
+    cfg: EftsTransformerConfig,
+    text: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    speech: jnp.ndarray,
+    speech_lengths: jnp.ndarray,
+    rng=None,
+    deterministic: bool = True,
+) -> dict:
+    b, t1 = text.shape
+    t2 = speech.shape[1]
+    text_mask = sequence_mask(text_lengths, t1)
+    mel_mask = sequence_mask(speech_lengths, t2)
+    text_mel_mask = text_mask[:, :, None] & mel_mask[:, None, :]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    r_text, r_mel, r_dec, r_dur = jax.random.split(rng, 4)
+
+    text_key, text_value = _encode_text(
+        params, cfg, text, text_mask, r_text, deterministic
+    )
+
+    mel_h = leaky_relu(linear(params["mel_prenet"], speech), 0.1)
+    mel_h = add_positional_encoding(mel_h, scale=params["pe_scale"])
+    mel_h = transformer_block(
+        params["mel_encoder"], mel_h, cfg.n_heads,
+        mask=mel_mask[:, None, :], use_conv_ff=cfg.use_conv_ff,
+        dropout_rate=cfg.dropout_rate, rng=r_mel, deterministic=deterministic,
+    )
+
+    alpha = scaled_dot_attention(mel_h, text_key, text_mask)
+    alpha = alpha * text_mel_mask.astype(alpha.dtype)
+    p = index_vector(text_mask)
+    imv = imv_from_alpha(alpha, p, mel_mask, text_lengths)
+    e = aligned_positions(imv, p, mel_mask, text_mask, sigma_e=cfg.sigma_e)
+    reconst_alpha = alignment_from_positions(
+        e, t2, sigma=cfg.sigma, mel_mask=mel_mask, text_mask=text_mask
+    ) * text_mel_mask.astype(jnp.float32)
+
+    expanded = jnp.einsum("bst,bsc->btc", reconst_alpha, text_value)
+    expanded = expanded * mel_mask.astype(expanded.dtype)[:, :, None]
+    dec = transformer_block(
+        params["decoder"], expanded, cfg.n_heads,
+        mask=mel_mask[:, None, :], use_conv_ff=cfg.use_conv_ff,
+        dropout_rate=cfg.dropout_rate, rng=r_dec, deterministic=deterministic,
+    )
+    mel_pred = linear(params["mel_out"], dec)
+    mel_pred = mel_pred * mel_mask.astype(mel_pred.dtype)[:, :, None]
+
+    e_sg = jax.lax.stop_gradient(e)
+    delta_e = jnp.concatenate([e_sg[:, :1], e_sg[:, 1:] - e_sg[:, :-1]], axis=1)
+    log_delta_e = jnp.where(
+        text_mask, jnp.log(delta_e + cfg.duration_offset), 0.0
+    )
+    dur_pred = duration_predictor(
+        params["duration_predictor"], text_value,
+        pad_mask=~text_mask.astype(bool), dropout_rate=cfg.dropout_rate,
+        rng=r_dur, deterministic=deterministic,
+    )
+    mel_loss, dur_loss = fastspeech_loss(
+        mel_pred, speech, dur_pred, log_delta_e, text_mask, mel_mask,
+        use_masking=cfg.use_masking,
+    )
+    return {
+        "loss": mel_loss + dur_loss,
+        "mel_loss": mel_loss,
+        "duration_loss": dur_loss,
+        "imv": imv,
+        "reconst_alpha": reconst_alpha,
+        "mel_pred": mel_pred,
+    }
+
+
+def infer_durations(params, cfg, text, text_lengths):
+    t1 = text.shape[1]
+    text_mask = sequence_mask(text_lengths, t1)
+    _, text_value = _encode_text(params, cfg, text, text_mask, None, True)
+    delta_e = duration_predictor_infer(
+        params["duration_predictor"], text_value,
+        pad_mask=~text_mask.astype(bool), offset=cfg.duration_offset,
+    )
+    return jnp.cumsum(delta_e, axis=1), text_value, text_mask
+
+
+def infer_decode(params, cfg, text_value, e, text_mask, t2: int):
+    reconst_alpha = alignment_from_positions(
+        e, t2, sigma=cfg.sigma, mel_mask=None, text_mask=text_mask
+    )
+    expanded = jnp.einsum("bst,bsc->btc", reconst_alpha, text_value)
+    dec = transformer_block(
+        params["decoder"], expanded, cfg.n_heads, use_conv_ff=cfg.use_conv_ff
+    )
+    return linear(params["mel_out"], dec), reconst_alpha

@@ -32,7 +32,11 @@ def dump_config(config: dict, outdir: str) -> str:
 
 def model_config_from_dict(config: dict):
     """Build the model dataclass config from `model_name`/`model_params`."""
-    from efficient_tts_tpu.models import DurationModelConfig, EftsCNNConfig
+    from efficient_tts_tpu.models import (
+        DurationModelConfig,
+        EftsCNNConfig,
+        EftsTransformerConfig,
+    )
 
     name = config.get("model_name", "EfficientTTSCNN")
     params = dict(config.get("model_params", {}))
@@ -44,6 +48,9 @@ def model_config_from_dict(config: dict):
         if act_params and "negative_slope" in act_params:
             params["leaky_slope"] = act_params["negative_slope"]
         return EftsCNNConfig(**params)
+    if name == "EfficientTTSTransformer":
+        params.pop("use_weighted_masking", None)
+        return EftsTransformerConfig(**params)
     if name == "DurationModel":
         return DurationModelConfig(**params)
     raise ValueError(f"unknown model_name: {name}")
