@@ -1,0 +1,94 @@
+"""End-to-end synthesis pipeline tests (host bucket selection, masking)."""
+
+import numpy as np
+import jax
+
+from efficient_tts_tpu.models import efficient_tts as efts
+from efficient_tts_tpu.models import hifigan as hg
+from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
+from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+from efficient_tts_tpu.nn.layers import fold_weight_norm
+from efficient_tts_tpu.pipeline import predict_lengths, synthesize, synthesize_fixed
+
+EFTS_CFG = EftsCNNConfig(
+    num_symbols=40,
+    symbol_embedding_dim=32,
+    n_channels=32,
+    n_text_encoder_layer=1,
+    n_mel_encoder_layer=1,
+    n_decoder_layer=1,
+    dropout_rate=0.0,
+    use_masking=True,
+)
+VOC_CFG = HiFiGANConfig(
+    upsample_rates=(8, 8, 2, 2),
+    upsample_kernel_sizes=(16, 16, 4, 4),
+    upsample_initial_channel=32,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 2),),
+)
+
+
+def _params():
+    return (
+        fold_weight_norm(efts.init(jax.random.PRNGKey(0), EFTS_CFG)),
+        fold_weight_norm(hg.init_generator(jax.random.PRNGKey(1), VOC_CFG)),
+    )
+
+
+def test_synthesize_buckets_and_lengths():
+    efts_params, voc_params = _params()
+    rng = np.random.default_rng(0)
+    text = np.zeros((2, 24), np.int32)
+    t1s = np.array([24, 16], np.int32)
+    for i, t1 in enumerate(t1s):
+        text[i, :t1] = rng.integers(1, 40, size=t1)
+
+    wav, wav_lengths = synthesize(
+        efts_params, voc_params, text, t1s, EFTS_CFG, VOC_CFG, bucket_multiple=32
+    )
+    assert wav.shape[0] == 2
+    assert wav.shape[1] % (32 * 256) == 0  # bucketed
+    pred = np.asarray(predict_lengths(efts_params, text, t1s, EFTS_CFG))
+    for i in range(2):
+        expect = min(max(int(pred[i]), 1), wav.shape[1] // 256) * 256
+        assert wav_lengths[i] == expect
+        # tail beyond the utterance is silent
+        assert np.abs(wav[i, wav_lengths[i]:]).max() == 0.0
+
+
+def test_synthesize_fixed_bucket_invariance():
+    """The same utterance decoded at two bucket sizes must agree on the
+    overlapping (valid) region — the static bucket is purely padding."""
+    efts_params, voc_params = _params()
+    rng = np.random.default_rng(1)
+    text = rng.integers(1, 40, size=(1, 16)).astype(np.int32)
+    t1s = np.array([16], np.int32)
+    wav_a, len_a, _ = synthesize_fixed(
+        efts_params, voc_params, text, t1s, EFTS_CFG, VOC_CFG, 64
+    )
+    wav_b, len_b, _ = synthesize_fixed(
+        efts_params, voc_params, text, t1s, EFTS_CFG, VOC_CFG, 96
+    )
+    n = int(min(np.asarray(len_a)[0], np.asarray(len_b)[0]))
+    assert n > 0
+    np.testing.assert_allclose(
+        np.asarray(wav_a)[0, :n], np.asarray(wav_b)[0, :n], atol=1e-4
+    )
+
+
+def test_gan_state_checkpoint_roundtrip(tmp_path):
+    from efficient_tts_tpu.train import checkpoint as ckpt
+    from efficient_tts_tpu.train.hifigan_train_step import init_gan_state
+    from efficient_tts_tpu.train.optim import hifigan_adam
+
+    gen_tx = hifigan_adam()
+    disc_tx = hifigan_adam()
+    state = init_gan_state(jax.random.PRNGKey(0), VOC_CFG, gen_tx, disc_tx)
+    path = ckpt.save_checkpoint(str(tmp_path), state, step=0)
+    template = init_gan_state(jax.random.PRNGKey(9), VOC_CFG, gen_tx, disc_tx)
+    restored = ckpt.load_checkpoint(path, template)
+    a = jax.tree_util.tree_leaves(state["gen"]["params"])
+    b = jax.tree_util.tree_leaves(restored["gen"]["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
