@@ -68,10 +68,18 @@ def main(argv=None):
         voc_cfg, gen_tx, disc_tx, use_stft_loss=args.use_stft_loss
     )
 
-    train_iter = infinite_loader(ds, args.batch_size, collate_mel_audio)
+    from efficient_tts_tpu.parallel.mesh import fit_data_extent, make_mesh
+
+    mesh = make_mesh(
+        data=fit_data_extent(args.batch_size, jax.local_device_count()), model=1
+    )
+    train_iter = infinite_loader(
+        ds, args.batch_size, collate_mel_audio,
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
+    )
     trainer = HiFiGANTrainer(
         step, state, train_iter, outdir=args.outdir,
-        train_max_steps=args.train_max_steps,
+        train_max_steps=args.train_max_steps, mesh=mesh,
     )
     if args.resume:
         trainer.load(args.resume)

@@ -31,6 +31,7 @@ class HiFiGANTrainer:
         save_interval_steps: int = 5000,
         log_interval_steps: int = 100,
         writer=None,
+        mesh=None,
     ):
         self.train_step = train_step
         self.state = state
@@ -40,6 +41,7 @@ class HiFiGANTrainer:
         self.save_interval_steps = save_interval_steps
         self.log_interval_steps = log_interval_steps
         self.writer = writer
+        self.mesh = mesh
         os.makedirs(outdir, exist_ok=True)
 
     def save(self):
@@ -58,6 +60,10 @@ class HiFiGANTrainer:
         try:
             while step < self.train_max_steps:
                 _, batch = next(self.train_iter)
+                if self.mesh is not None:
+                    from efficient_tts_tpu.train.efts_train_step import shard_batch
+
+                    batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self.train_step(self.state, batch)
                 step += 1
                 count += 1
