@@ -45,8 +45,8 @@ def main():
     efts_params = fold_weight_norm(efts.init(jax.random.PRNGKey(0), efts_cfg))
     voc_params = fold_weight_norm(hg.init_generator(jax.random.PRNGKey(1), voc_cfg))
 
-    # LJSpeech-like workload: 8 utterances x 512 mel frames (~5.9 s each)
-    b, t1, t2 = 8, 96, 512
+    # LJSpeech-like serving workload: 16 utterances x 512 mel frames (~5.9 s each)
+    b, t1, t2 = 16, 96, 512
     rng = np.random.default_rng(0)
     text = rng.integers(1, 76, size=(b, t1)).astype(np.int32)
     text_lengths = np.full((b,), t1, np.int32)
