@@ -52,7 +52,11 @@ def main(argv=None):
 
     from efficient_tts_tpu.data.collate import collate_text_mel
     from efficient_tts_tpu.data.dataset import TextMelDataset
-    from efficient_tts_tpu.data.loader import data_loader, infinite_loader
+    from efficient_tts_tpu.data.loader import (
+        data_loader,
+        device_prefetch,
+        infinite_loader,
+    )
     from efficient_tts_tpu.models import efficient_tts as efts
     from efficient_tts_tpu.parallel.mesh import fit_data_extent, make_mesh
     from efficient_tts_tpu.train import checkpoint as ckpt
@@ -94,9 +98,13 @@ def main(argv=None):
     shard_id = jax.process_index()
     num_shards = jax.process_count()
     per_host_batch = max(batch_size // num_shards, 1)
-    train_iter = infinite_loader(
-        train_ds, per_host_batch, collate,
-        shard_id=shard_id, num_shards=num_shards,
+    train_iter = device_prefetch(
+        infinite_loader(
+            train_ds, per_host_batch, collate,
+            shard_id=shard_id, num_shards=num_shards,
+        ),
+        size=2,
+        mesh=mesh,
     )
 
     eval_batches = []

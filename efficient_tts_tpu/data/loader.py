@@ -67,6 +67,40 @@ def data_loader(
         stop.set()
 
 
+def device_prefetch(iterator, size: int = 2, mesh=None):
+    """Move batches to device ahead of consumption so host->device
+    transfer overlaps with the running step (the torch DataLoader
+    pin_memory+workers analog for the jit world).
+
+    `iterator` yields (epoch, batch_dict); with a mesh, batches are
+    sharded over the 'data' axis.
+    """
+    import collections
+
+    import jax
+
+    def put(item):
+        epoch, batch = item
+        if mesh is not None:
+            from efficient_tts_tpu.parallel.sharding import batch_sharding
+
+            placed = {
+                k: jax.device_put(v, batch_sharding(mesh, ndim=v.ndim))
+                for k, v in batch.items()
+            }
+        else:
+            placed = jax.device_put(batch)
+        return epoch, placed
+
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(put(item))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def infinite_loader(dataset, batch_size, collate_fn, seed=0, **kw):
     """Endless stream over reshuffled epochs (the reference trains by step
     count over an infinite epoch loop, `efficient_tts_trainer.py:62-76`).

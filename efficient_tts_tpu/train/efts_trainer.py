@@ -32,6 +32,11 @@ from efficient_tts_tpu.train.state import create_state
 log = logging.getLogger(__name__)
 
 
+def _is_placed(batch: dict) -> bool:
+    """True when the prefetcher already device_put the batch."""
+    return isinstance(next(iter(batch.values())), jax.Array)
+
+
 class EftsTrainer:
     def __init__(
         self,
@@ -93,7 +98,7 @@ class EftsTrainer:
         try:
             while step < self.train_max_steps:
                 epoch, batch = next(self.train_iter)
-                if self.mesh is not None:
+                if self.mesh is not None and not _is_placed(batch):
                     batch = shard_batch(batch, self.mesh)
                 self.rng, sub = jax.random.split(self.rng)
                 self.state, metrics = self._train_step(self.state, batch, sub)
