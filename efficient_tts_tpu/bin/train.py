@@ -102,6 +102,11 @@ def main(argv=None):
         infinite_loader(
             train_ds, per_host_batch, collate,
             shard_id=shard_id, num_shards=num_shards,
+            length_fn=(
+                train_ds.approx_length
+                if config.get("length_bucketing", True)
+                else None
+            ),
         ),
         size=2,
         mesh=mesh,

@@ -131,6 +131,14 @@ class TextMelDataset:
             np.save(cache, mel)
         return mel
 
+    def approx_length(self, index: int) -> float:
+        """Cheap mel-length proxy (wav byte size) for length-bucketed
+        batching -- no audio decode needed."""
+        try:
+            return float(os.path.getsize(self._resolve_wav(self.items[index][0])))
+        except OSError:
+            return 0.0
+
     def __getitem__(self, index: int) -> tuple:
         audiopath, text = self.items[index][0], self.items[index][1]
         return self.get_text(text), self.get_mel(audiopath)

@@ -27,14 +27,29 @@ def data_loader(
     num_shards: int = 1,
     drop_last: bool = True,
     prefetch: int = 2,
+    length_fn=None,
 ):
-    """Yields collated batches for one epoch."""
+    """Yields collated batches for one epoch.
+
+    With `length_fn(index) -> approx length`, batches group
+    similar-length utterances (a jittered length sort), cutting the
+    padded-frame waste of uniform batching; batch order is then
+    shuffled. LJ mel lengths span ~100-870 frames, so uniform batches
+    padded to the bucket max waste ~40% of conv FLOPs.
+    """
     n = len(dataset)
+    rng = np.random.default_rng(seed + epoch)
     if shuffle:
-        order = np.random.default_rng(seed + epoch).permutation(n)
+        order = rng.permutation(n)
     else:
         order = np.arange(n)
     order = order[shard_id::num_shards]
+    if length_fn is not None:
+        lengths = np.asarray([length_fn(int(i)) for i in order], np.float64)
+        if shuffle:
+            # jitter so bucket boundaries differ per epoch
+            lengths = lengths * (1.0 + 0.05 * rng.standard_normal(len(lengths)))
+        order = order[np.argsort(lengths, kind="stable")]
     if drop_last:
         usable = (len(order) // batch_size) * batch_size
         order = order[:usable]
@@ -42,6 +57,8 @@ def data_loader(
     batches = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
     if not batches:
         return
+    if length_fn is not None and shuffle:
+        rng.shuffle(batches)
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()

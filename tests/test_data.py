@@ -110,6 +110,30 @@ def test_loader_sharding(corpus):
     assert epochs[0] == 0 and epochs[-1] >= 2
 
 
+def test_length_bucketed_batching(corpus):
+    ds = TextMelDataset(
+        corpus["filelist"],
+        wav_path=corpus["wavdir"],
+        use_phnseq=True,
+        phnset_path=corpus["phnset"],
+    )
+    collate = lambda b: collate_text_mel(b)
+    batches = list(
+        data_loader(ds, 2, collate, shuffle=True, seed=3, length_fn=ds.approx_length)
+    )
+    assert len(batches) == 3
+    # within-batch mel length spread should be smaller than the corpus spread
+    all_lens = [ds.approx_length(i) for i in range(len(ds))]
+    corpus_spread = max(all_lens) - min(all_lens)
+    for b in batches:
+        spread = int(b["mel_lengths"].max()) - int(b["mel_lengths"].min())
+        # wav sizes step by 3000 samples -> neighbors differ by ~12 frames
+        assert spread * 256 <= corpus_spread  # grouped neighbors
+    # epoch coverage preserved
+    seen = sum(b["text"].shape[0] for b in batches)
+    assert seen == 6
+
+
 def test_vocoder_segment_dataset(corpus):
     files = [os.path.join(corpus["wavdir"], f"utt{i}.wav") for i in range(6)]
     ds = MelAudioSegmentDataset(files, segment_size=8192)
