@@ -20,16 +20,40 @@ from efficient_tts_tpu.parallel.sharding import batch_sharding, param_sharding
 from efficient_tts_tpu.train.state import apply_updates
 
 
-def make_train_step(cfg: EftsCNNConfig, tx: optax.GradientTransformation):
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+def make_train_step(
+    cfg: EftsCNNConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    sequence_parallel: bool = False,
+):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    `sequence_parallel=True` (requires `mesh`) additionally shards the mel
+    time axis over the 'model' mesh axis: GSPMD then partitions the mel
+    encoder convs (halo-exchanged) and the [B, T1, T2] alignment tensors
+    along T2, inserting the collectives — useful when very long
+    utterances make the quadratic alignment tensors the memory bound
+    (SURVEY.md §5 long-context strategy).
+    """
+    sp_sharding = None
+    if sequence_parallel:
+        assert mesh is not None, "sequence_parallel requires a mesh"
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from efficient_tts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        sp_sharding = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
 
     def loss_fn(params, batch, rng):
+        mel = batch["mel"]
+        if sp_sharding is not None:
+            mel = jax.lax.with_sharding_constraint(mel, sp_sharding)
         out = efts.forward(
             params,
             cfg,
             batch["text"],
             batch["text_lengths"],
-            batch["mel"],
+            mel,
             batch["mel_lengths"],
             rng=rng,
             deterministic=cfg.dropout_rate <= 0.0,

@@ -73,6 +73,22 @@ def test_sharded_train_step(model_parallel):
     assert abs(float(metrics["loss"]) - float(metrics_ref["loss"])) < 1e-4
 
 
+def test_sequence_parallel_train_step():
+    """dp+tp+sp: mel time axis sharded over 'model' via constraint."""
+    mesh = make_mesh(model=2)
+    tx = adam_warmup(lr=1e-3, warmup_steps=10)
+    params = efts.init(jax.random.PRNGKey(0), CFG)
+    state = shard_state(params, tx, mesh)
+    step = make_train_step(CFG, tx, mesh=mesh, sequence_parallel=True)
+    batch = shard_batch(_batch(b=8), mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    state_ref = create_state(params, tx)
+    plain = make_train_step(CFG, tx)
+    state_ref, metrics_ref = plain(state_ref, _batch(b=8), jax.random.PRNGKey(1))
+    assert abs(float(metrics["loss"]) - float(metrics_ref["loss"])) < 1e-4
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from efficient_tts_tpu.train.checkpoint import (
         latest_checkpoint,
