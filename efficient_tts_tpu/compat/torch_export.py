@@ -1,0 +1,57 @@
+"""Pytree parameters -> reference PyTorch state_dict (inverse of
+`torch_import.py`), for interoperability with the reference tooling
+(e.g. synthesizing through the reference inference script with weights
+trained here). Produces numpy arrays keyed by the reference's names;
+wrap with `torch.from_numpy` to load into the torch modules.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """WIO [k, in, out] -> torch [out, in, k]."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 1, 0)))
+
+
+def _linear(sd: dict, prefix: str, p: dict) -> None:
+    sd[prefix + ".weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
+    sd[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def _conv(sd: dict, prefix: str, p: dict) -> None:
+    if "v" in p:
+        sd[prefix + ".weight_v"] = _conv_w(p["v"])
+        sd[prefix + ".weight_g"] = np.asarray(p["g"]).reshape(-1, 1, 1)
+        sd[prefix + ".bias"] = np.asarray(p["b"])
+    else:
+        sd[prefix + ".weight"] = _conv_w(p["w"])
+        sd[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def efts_cnn_to_state_dict(params: dict, cfg) -> dict:
+    """Inverse of `torch_import.efts_cnn_from_state_dict`."""
+    sd: dict = {}
+    sd["text_embedding_table.weight"] = np.asarray(params["text_embedding"]["table"])
+    for name, n_layers in [
+        ("text_encoder", cfg.n_text_encoder_layer),
+        ("mel_encoder", cfg.n_mel_encoder_layer),
+        ("decoder", cfg.n_decoder_layer),
+    ]:
+        for i in range(n_layers):
+            _conv(sd, f"{name}.layers.{i}.conv.0", params[name]["layers"][i])
+    _linear(sd, "text_encoder_key", params["text_key"])
+    if "text_value" in params:
+        _linear(sd, "text_encoder_value", params["text_value"])
+    _linear(sd, "mel_prenet.0", params["mel_prenet"])
+    if "mel_query_fc" in params:
+        _linear(sd, "mel_query_fc", params["mel_query_fc"])
+    _linear(sd, "mel_output_layer", params["mel_out"])
+    dp = params["duration_predictor"]
+    for i, (conv_p, norm_p) in enumerate(zip(dp["convs"], dp["norms"])):
+        _conv(sd, f"duration_predictor.conv.{i}.0", conv_p)
+        sd[f"duration_predictor.conv.{i}.2.weight"] = np.asarray(norm_p["scale"])
+        sd[f"duration_predictor.conv.{i}.2.bias"] = np.asarray(norm_p["bias"])
+    _linear(sd, "duration_predictor.linear", dp["out"])
+    return sd
