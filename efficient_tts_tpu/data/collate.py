@@ -21,14 +21,18 @@ def collate_text_mel(
     mel_bucket: int = 64,
     fixed_text_len: int | None = None,
     fixed_mel_len: int | None = None,
+    sort: bool = True,
 ) -> dict:
     """[(text ids [T1], mel [T2, n_mels])] -> padded dict batch.
 
     With `fixed_*_len` the batch pads to exactly those lengths (single
     compiled shape); otherwise lengths round up to the bucket multiple.
+    `sort=False` preserves input order (needed when rows map back to
+    utterance ids, e.g. GTA extraction).
     """
-    order = np.argsort([-len(x[0]) for x in batch], kind="stable")
-    batch = [batch[i] for i in order]
+    if sort:
+        order = np.argsort([-len(x[0]) for x in batch], kind="stable")
+        batch = [batch[i] for i in order]
 
     text_lengths = np.asarray([len(x[0]) for x in batch], np.int32)
     mel_lengths = np.asarray([x[1].shape[0] for x in batch], np.int32)

@@ -163,6 +163,8 @@ class MelAudioSegmentDataset:
         seed: int = 1234,
         split: bool = True,
         shuffle: bool = True,
+        fine_tuning: bool = False,
+        base_mels_path: str | None = None,
     ):
         self.files = list(files)
         if shuffle:
@@ -177,25 +179,58 @@ class MelAudioSegmentDataset:
         )
         self.max_wav_value = max_wav_value
         self.split = split
+        self.fine_tuning = fine_tuning
+        self.base_mels_path = base_mels_path
+        if fine_tuning and not base_mels_path:
+            raise ValueError("fine_tuning requires base_mels_path (GTA mels)")
         self._rng = random.Random(seed)
 
     def __len__(self) -> int:
         return len(self.files)
 
-    def __getitem__(self, index: int) -> tuple:
+    def _load_audio(self, index: int) -> np.ndarray:
         audio, sr = load_wav(self.files[index])
         if sr != self.sampling_rate:
             raise ValueError(f"{self.files[index]}: {sr} != {self.sampling_rate}")
         audio = audio.astype(np.float32) / self.max_wav_value
-        peak = np.abs(audio).max()
-        if peak > 0:
-            audio = audio / peak * 0.95
-        if self.split:
-            if len(audio) >= self.segment_size:
-                start = self._rng.randint(0, len(audio) - self.segment_size)
-                audio = audio[start : start + self.segment_size]
-            else:
-                audio = np.pad(audio, (0, self.segment_size - len(audio)))
-        mel = mel_spectrogram_np(audio, self.mel_config).T
+        if not self.fine_tuning:
+            peak = np.abs(audio).max()
+            if peak > 0:
+                audio = audio / peak * 0.95
+        return audio
+
+    def __getitem__(self, index: int) -> tuple:
+        audio = self._load_audio(index)
+        hop = self.mel_config.hop_size
+        if self.fine_tuning:
+            # GTA fine-tuning (`meldataset.py:152-169`): generator input is
+            # the model-predicted mel; the loss target stays ground truth.
+            base = os.path.splitext(os.path.basename(self.files[index]))[0]
+            mel = np.load(os.path.join(self.base_mels_path, base + ".npy"))
+            mel = mel.T  # stored [n_mels, T2] -> [T2, n_mels]
+            if self.split:
+                frames_per_seg = -(-self.segment_size // hop)
+                if (
+                    len(audio) >= self.segment_size
+                    and mel.shape[0] > frames_per_seg
+                ):
+                    start = self._rng.randint(0, mel.shape[0] - frames_per_seg - 1)
+                    mel = mel[start : start + frames_per_seg]
+                    audio = audio[start * hop : (start + frames_per_seg) * hop]
+                else:
+                    mel = np.pad(
+                        mel, ((0, max(0, frames_per_seg - mel.shape[0])), (0, 0))
+                    )[:frames_per_seg]
+                    audio = np.pad(
+                        audio, (0, max(0, self.segment_size - len(audio)))
+                    )[: self.segment_size]
+        else:
+            if self.split:
+                if len(audio) >= self.segment_size:
+                    start = self._rng.randint(0, len(audio) - self.segment_size)
+                    audio = audio[start : start + self.segment_size]
+                else:
+                    audio = np.pad(audio, (0, self.segment_size - len(audio)))
+            mel = mel_spectrogram_np(audio, self.mel_config).T
         mel_loss = mel_spectrogram_np(audio, self.loss_config).T
         return mel, audio, mel_loss

@@ -427,6 +427,49 @@ def scale_discriminator(params: dict, x: jnp.ndarray):
     return h.reshape(h.shape[0], -1), fmap
 
 
+def generator_chunked(
+    params: dict,
+    mel: jnp.ndarray,
+    cfg: HiFiGANConfig = HiFiGANConfig(),
+    compute_dtype=None,
+    chunk_frames: int = 256,
+    overlap_frames: int = 24,
+) -> jnp.ndarray:
+    """Memory-bounded synthesis for unbounded-length mels.
+
+    The generator's receptive field is ~14 mel frames per side (conv_pre
+    + per-stage MRF halos divided by the cumulative upsampling), so
+    decoding overlapping chunks and keeping only interiors is exact.
+    One [chunk + 2*overlap] graph compiles once and serves any length;
+    peak activation memory is O(chunk), not O(T).
+    `tests/test_hifigan_chunked.py` asserts equality with the full pass.
+    """
+    b, t, _ = mel.shape
+    hop = cfg.total_upsampling
+    ov = overlap_frames
+    if t <= chunk_frames + 2 * ov:
+        return generator(params, mel, cfg, compute_dtype=compute_dtype)
+    n_chunks = -(-t // chunk_frames)
+    pieces = []
+    for i in range(n_chunks):
+        lo = i * chunk_frames
+        hi = min(t, lo + chunk_frames)
+        if i == 0:
+            # true left edge: layer-wise zero padding must match the full pass
+            seg = mel[:, : chunk_frames + ov]
+            keep_lo = 0
+        elif i == n_chunks - 1:
+            # true right edge: fixed-size window ending exactly at t
+            seg = mel[:, t - (chunk_frames + ov) :]
+            keep_lo = (chunk_frames + ov) - (hi - lo)
+        else:
+            seg = mel[:, lo - ov : hi + ov]
+            keep_lo = ov
+        wav = generator(params, seg, cfg, compute_dtype=compute_dtype)
+        pieces.append(wav[:, keep_lo * hop : (keep_lo + hi - lo) * hop])
+    return jnp.concatenate(pieces, axis=1)
+
+
 MPD_PERIODS = (2, 3, 5, 7, 11)
 
 
