@@ -23,6 +23,10 @@ def get_parser():
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--train_max_steps", type=int, default=400000)
     p.add_argument("--use_stft_loss", action="store_true")
+    p.add_argument("--fine_tuning", action="store_true",
+                   help="GTA fine-tuning: generator input from --base_mels_path")
+    p.add_argument("--base_mels_path", default=None,
+                   help="dir of GTA mels from efficient_tts_tpu.bin.extract_gta")
     return p
 
 
@@ -58,7 +62,12 @@ def main(argv=None):
 
     with open(args.wav_scp) as f:
         files = [line.strip().split("|")[0] for line in f if line.strip()]
-    ds = MelAudioSegmentDataset(files, segment_size=voc_cfg.segment_size)
+    ds = MelAudioSegmentDataset(
+        files,
+        segment_size=voc_cfg.segment_size,
+        fine_tuning=args.fine_tuning,
+        base_mels_path=args.base_mels_path,
+    )
     steps_per_epoch = max(len(ds) // args.batch_size, 1)
 
     gen_tx = hifigan_adam(lr, betas, lr_decay, steps_per_epoch)

@@ -69,8 +69,9 @@ def data_loader(
                 if stop.is_set():
                     return
                 q.put(collate_fn([dataset[int(i)] for i in idxs]))
-        finally:
             q.put(None)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -79,6 +80,8 @@ def data_loader(
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

@@ -33,17 +33,24 @@ def save_checkpoint(outdir: str, state: dict, step: int | None = None) -> str:
 def load_checkpoint(path: str, template_state: dict, load_only_params: bool = False) -> dict:
     """Restore a checkpoint into the structure of `template_state`.
 
-    With `load_only_params` (the reference's --pretrain mode), optimizer
-    state and step are kept from the template (fresh).
+    With `load_only_params` (the reference's --pretrain mode), only the
+    parameter subtree is read (template-free, so the saved optimizer
+    structure need not match the current one) and optimizer state/step
+    come fresh from the template.
     """
     ckptr = _checkpointer()
-    restored = ckptr.restore(os.path.abspath(path), template_state)
     if load_only_params:
+        restored = ckptr.restore(os.path.abspath(path))
         return {
-            "params": restored["params"],
+            "params": jax.tree_util.tree_map(
+                lambda t, r: jax.numpy.asarray(r, t.dtype),
+                template_state["params"],
+                restored["params"],
+            ),
             "opt_state": template_state["opt_state"],
             "step": template_state["step"],
         }
+    restored = ckptr.restore(os.path.abspath(path), template_state)
     return restored
 
 
