@@ -80,16 +80,29 @@ def synthesize(
     voc_cfg: HiFiGANConfig = HiFiGANConfig(),
     bucket_multiple: int = 64,
     max_t2: int = 2048,
+    compute_dtype=None,
+    mesh=None,
 ):
     """Host-driven batched synthesis with automatic bucket selection.
 
+    With a mesh, the utterance batch is sharded over the 'data' axis
+    (data-parallel multi-chip synthesis; batch must divide the extent).
     Returns (wav [B, T_bucket*hop] numpy, wav_lengths [B] numpy).
     """
+    if mesh is not None:
+        from efficient_tts_tpu.parallel.sharding import batch_sharding, replicated
+
+        rep = replicated(mesh)
+        efts_params = jax.device_put(efts_params, rep)
+        voc_params = jax.device_put(voc_params, rep)
+        text = jax.device_put(text, batch_sharding(mesh, ndim=2))
+        text_lengths = jax.device_put(text_lengths, batch_sharding(mesh, ndim=1))
     mel_lengths = np.asarray(
         jax.device_get(predict_lengths(efts_params, text, text_lengths, efts_cfg))
     )
     t2 = min(bucket_length(int(mel_lengths.max()), bucket_multiple), max_t2)
     wav, wav_lengths, _ = synthesize_fixed(
-        efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2
+        efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2,
+        compute_dtype=compute_dtype,
     )
     return np.asarray(jax.device_get(wav)), np.asarray(jax.device_get(wav_lengths))

@@ -77,6 +77,25 @@ def test_synthesize_fixed_bucket_invariance():
     )
 
 
+def test_synthesize_data_parallel_mesh():
+    """Data-parallel synthesis over the 8-device mesh equals single-device."""
+    from efficient_tts_tpu.parallel.mesh import make_mesh
+
+    efts_params, voc_params = _params()
+    rng = np.random.default_rng(2)
+    text = rng.integers(1, 40, size=(8, 16)).astype(np.int32)
+    t1s = np.full((8,), 16, np.int32)
+    mesh = make_mesh(model=1)
+    wav_mesh, len_mesh = synthesize(
+        efts_params, voc_params, text, t1s, EFTS_CFG, VOC_CFG, mesh=mesh
+    )
+    wav_one, len_one = synthesize(
+        efts_params, voc_params, text, t1s, EFTS_CFG, VOC_CFG
+    )
+    np.testing.assert_array_equal(len_mesh, len_one)
+    np.testing.assert_allclose(wav_mesh, wav_one, atol=1e-5)
+
+
 def test_gan_state_checkpoint_roundtrip(tmp_path):
     from efficient_tts_tpu.train import checkpoint as ckpt
     from efficient_tts_tpu.train.hifigan_train_step import init_gan_state
