@@ -17,6 +17,7 @@ import logging
 def get_parser():
     p = argparse.ArgumentParser(description="Train HiFi-GAN vocoder (TPU-native)")
     p.add_argument("--wav_scp", required=True)
+    p.add_argument("--dev_wav_scp", default=None, help="validation wav list")
     p.add_argument("--outdir", required=True)
     p.add_argument("--config", default=None, help="optional YAML overriding defaults")
     p.add_argument("--resume", default=None)
@@ -43,6 +44,7 @@ def main(argv=None):
     from efficient_tts_tpu.train import checkpoint as ckpt
     from efficient_tts_tpu.train.hifigan_train_step import (
         init_gan_state,
+        make_gan_eval_step,
         make_gan_train_step,
     )
     from efficient_tts_tpu.train.hifigan_trainer import HiFiGANTrainer
@@ -86,9 +88,24 @@ def main(argv=None):
         ds, args.batch_size, collate_mel_audio,
         shard_id=jax.process_index(), num_shards=jax.process_count(),
     )
+    eval_step, eval_batches = None, []
+    if args.dev_wav_scp:
+        with open(args.dev_wav_scp) as f:
+            dev_files = [line.strip().split("|")[0] for line in f if line.strip()]
+        dev_ds = MelAudioSegmentDataset(
+            dev_files, segment_size=voc_cfg.segment_size, shuffle=False,
+            fine_tuning=args.fine_tuning, base_mels_path=args.base_mels_path,
+        )
+        eval_batches = [
+            collate_mel_audio([dev_ds[i] for i in range(lo, min(lo + args.batch_size, len(dev_ds)))])
+            for lo in range(0, min(len(dev_ds), 4 * args.batch_size), args.batch_size)
+        ]
+        eval_step = make_gan_eval_step(voc_cfg)
+
     trainer = HiFiGANTrainer(
         step, state, train_iter, outdir=args.outdir,
         train_max_steps=args.train_max_steps, mesh=mesh,
+        eval_step=eval_step, eval_batches=eval_batches,
     )
     if args.resume:
         trainer.load(args.resume)

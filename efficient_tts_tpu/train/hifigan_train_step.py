@@ -142,3 +142,17 @@ def make_gan_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_gan_eval_step(voc_cfg: HiFiGANConfig, mel_cfg: MelConfig = MelConfig()):
+    """Validation metric: mel-spectrogram L1 of generated vs ground truth
+    (the official HiFi-GAN recipe's val metric; the reference ships no
+    vocoder trainer at all)."""
+
+    @jax.jit
+    def eval_step(gen_params, batch):
+        y_hat = hg.generator(gen_params, batch["mel"], voc_cfg)
+        mel_hat = jnp.swapaxes(mel_spectrogram(y_hat, mel_cfg), 1, 2)
+        return {"mel_l1": jnp.mean(jnp.abs(mel_hat - batch["mel_loss"]))}
+
+    return eval_step

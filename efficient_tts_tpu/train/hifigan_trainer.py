@@ -32,6 +32,9 @@ class HiFiGANTrainer:
         log_interval_steps: int = 100,
         writer=None,
         mesh=None,
+        eval_step=None,
+        eval_batches=None,
+        eval_interval_steps: int = 1000,
     ):
         self.train_step = train_step
         self.state = state
@@ -42,6 +45,9 @@ class HiFiGANTrainer:
         self.log_interval_steps = log_interval_steps
         self.writer = writer
         self.mesh = mesh
+        self.eval_step = eval_step
+        self.eval_batches = eval_batches or []
+        self.eval_interval_steps = eval_interval_steps
         os.makedirs(outdir, exist_ok=True)
 
     def save(self):
@@ -83,9 +89,27 @@ class HiFiGANTrainer:
                     totals.clear()
                     count = 0
                     t_last = time.time()
+                if (
+                    self.eval_step is not None
+                    and self.eval_batches
+                    and step % self.eval_interval_steps == 0
+                ):
+                    self.evaluate(step)
                 if step % self.save_interval_steps == 0:
                     self.save()
         except KeyboardInterrupt:
             self.save()
             raise
         return self.state
+
+    def evaluate(self, step: int):
+        total, n = 0.0, 0
+        for batch in self.eval_batches:
+            out = self.eval_step(self.state["gen"]["params"], batch)
+            total += float(jax.device_get(out["mel_l1"]))
+            n += 1
+        mel_l1 = total / max(n, 1)
+        log.info("eval step %d: mel_l1=%.4f", step, mel_l1)
+        if self.writer is not None:
+            self.writer.add_scalar("vocoder/eval_mel_l1", mel_l1, step)
+        return mel_l1
