@@ -12,7 +12,7 @@ expdir=exp/databaker_efts_cnn
 lj_vocoder=../lj/exp/lj_hifigan       # shared LJ vocoder
 config=../../efficient_tts_tpu/configs/databaker_efts_cnn.yaml
 
-. ./parse_options.sh || true
+. ../parse_options.sh
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
     echo "=== stage 0: data preparation (pinyin -> phone tokens) ==="

@@ -17,7 +17,7 @@ config=../../efficient_tts_tpu/configs/lj_efts_cnn_phnseq.yaml
 phnset=${datadir}/g2p_en_phnset.txt
 ngpu_unused=0  # kept for CLI compat; TPU mesh is configured in the yaml
 
-. ./parse_options.sh || true
+. ../parse_options.sh
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
     echo "=== stage 0: data preparation ==="
