@@ -52,6 +52,24 @@ def test_gan_step_runs_and_updates():
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
 
 
+def test_spectral_norm_state_advances():
+    """The u/v power-iteration buffers must persist across jitted steps."""
+    gen_tx = hifigan_adam(lr=2e-4)
+    disc_tx = hifigan_adam(lr=2e-4)
+    state = init_gan_state(jax.random.PRNGKey(0), VOC_CFG, gen_tx, disc_tx)
+    step = make_gan_train_step(VOC_CFG, gen_tx, disc_tx)
+    batch = _batch()
+    u0 = np.asarray(state["disc"]["params"]["msd"]["discriminators"][0]["convs"][0]["u"])
+    state, _ = step(state, batch)
+    u1 = np.asarray(state["disc"]["params"]["msd"]["discriminators"][0]["convs"][0]["u"])
+    assert not np.allclose(u0, u1)
+    state, _ = step(state, batch)
+    u2 = np.asarray(state["disc"]["params"]["msd"]["discriminators"][0]["convs"][0]["u"])
+    assert not np.allclose(u1, u2)
+    # u converges toward the top singular vector: successive updates shrink
+    assert np.linalg.norm(u2 - u1) < np.linalg.norm(u1 - u0) * 2.0
+
+
 def test_gan_mel_loss_decreases():
     gen_tx = hifigan_adam(lr=2e-4)
     disc_tx = hifigan_adam(lr=2e-4)
