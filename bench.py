@@ -64,10 +64,14 @@ def main():
     float(tail(run()))  # compile + warm
     float(tail(run()))
 
+    # median of repeated chain-difference estimates (relay timing jitters)
     k_small, k_large = 2, 22
-    t_small = _time_chain(run, tail, k_small)
-    t_large = _time_chain(run, tail, k_large)
-    dt = max((t_large - t_small) / (k_large - k_small), 1e-9)
+    estimates = []
+    for _ in range(3):
+        t_small = _time_chain(run, tail, k_small)
+        t_large = _time_chain(run, tail, k_large)
+        estimates.append(max((t_large - t_small) / (k_large - k_small), 1e-9))
+    dt = sorted(estimates)[1]
 
     sr = voc_cfg.sampling_rate
     audio_seconds = b * t2 * voc_cfg.hop_size / sr
