@@ -13,9 +13,10 @@ db_root=/path/to/LJSpeech-1.1          # contains wavs/ and metadata.csv
 datadir=data
 expdir=exp/lj_efts_cnn
 vocdir=exp/lj_hifigan
-config=../../efficient_tts_tpu/configs/lj_efts_cnn_phnseq.yaml
-phnset=${datadir}/g2p_en_phnset.txt
-ngpu_unused=0  # kept for CLI compat; TPU mesh is configured in the yaml
+# char-level config runs directly from metadata.csv text; switch to
+# lj_efts_cnn_phnseq.yaml when pre-g2p'd phone filelists are available
+# (reference recipe mode, egs/lj/data/nv_taco2_filelists)
+config=../../efficient_tts_tpu/configs/lj_efts_cnn_char.yaml
 
 . ../parse_options.sh
 
