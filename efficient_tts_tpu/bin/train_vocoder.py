@@ -24,6 +24,8 @@ def get_parser():
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--train_max_steps", type=int, default=400000)
     p.add_argument("--use_stft_loss", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="track an EMA of generator weights for eval/serving")
     p.add_argument("--fine_tuning", action="store_true",
                    help="GTA fine-tuning: generator input from --base_mels_path")
     p.add_argument("--base_mels_path", default=None,
@@ -74,9 +76,12 @@ def main(argv=None):
 
     gen_tx = hifigan_adam(lr, betas, lr_decay, steps_per_epoch)
     disc_tx = hifigan_adam(lr, betas, lr_decay, steps_per_epoch)
-    state = init_gan_state(jax.random.PRNGKey(0), voc_cfg, gen_tx, disc_tx)
+    state = init_gan_state(
+        jax.random.PRNGKey(0), voc_cfg, gen_tx, disc_tx, ema_decay=args.ema_decay
+    )
     step = make_gan_train_step(
-        voc_cfg, gen_tx, disc_tx, use_stft_loss=args.use_stft_loss
+        voc_cfg, gen_tx, disc_tx, use_stft_loss=args.use_stft_loss,
+        ema_decay=args.ema_decay,
     )
 
     from efficient_tts_tpu.parallel.mesh import fit_data_extent, make_mesh

@@ -145,6 +145,7 @@ def generator(
     cfg: HiFiGANConfig = HiFiGANConfig(),
     compute_dtype=None,
     pack_small_channels: bool = True,
+    mrf_strategy=None,
 ) -> jnp.ndarray:
     """[B, T, num_mels] log-mel -> [B, T*256] waveform in (-1, 1).
 
@@ -152,7 +153,9 @@ def generator(
     `compute_dtype=jnp.bfloat16` runs the conv stacks on the MXU in bf16
     with f32 accumulation; the final tanh output is float32 either way.
     `pack_small_channels` evaluates MRF stages with < 128 channels in
-    space-to-depth packed layout (exact, ~2-3x faster on TPU).
+    space-to-depth packed layout (exact, ~2-3x faster on TPU); each conv
+    individually picks plain/packed/phase per the measured `_MRF_STRATEGY`
+    table (override with `mrf_strategy(ch, k, d) -> str` for benching).
     """
     n_kernels = len(cfg.resblock_kernel_sizes)
     if compute_dtype is not None:
@@ -176,7 +179,7 @@ def generator(
             block = params["resblocks"][i * n_kernels + j]
             if r > 1:
                 fn = _resblock1_packed if cfg.resblock == "1" else _resblock2_packed
-                y = fn(block, x, rk, dils, r, ch)
+                y = fn(block, x, rk, dils, r, ch, mrf_strategy)
             else:
                 fn = _resblock1 if cfg.resblock == "1" else _resblock2
                 y = fn(block, x, rk, dils)
@@ -203,6 +206,43 @@ def generator(
 # (bit-identical contraction per output) and works on the raw or
 # weight-normed parameters under jit. Measured: 2.4-3.4x faster per conv
 # despite the kp*r/k FLOP inflation.
+
+
+# Per-conv strategy. Packing/unpacking is a *free* contiguous reshape
+# ([B, T, C] <-> [B, T/r, r*C] share memory layout), so plain, packed and
+# phase-decomposed convs can be mixed freely inside one resblock while the
+# activations stay resident in packed layout.
+#
+#   'packed' — space-to-depth scattered weights (below). FLOP inflation
+#              ~((k-1)*d + r)/k, but every matmul is 128-dense. Wins for
+#              d=1 and small dilations.
+#   'plain'  — direct conv at C output channels (C/128 lane utilization).
+#   'phase'  — dilation-d conv == d independent dilation-1 convs on the
+#              stride-d subsequences ("phases"); phases move to the batch
+#              dim (one transpose each way) and the d=1 conv runs packed
+#              at ~(k-1+r)/k inflation — kills the dilation factor from
+#              the packed inflation at the cost of 2 transposes. Wins for
+#              large k*d (k=11, d=5: 5.45x -> 1.82x FLOPs).
+#
+# The default table below is measured on a v5e chip at the LJ serving
+# shapes by timing the whole jitted generator per candidate table
+# (scripts/bench_mrf_whole.py); unlisted combinations fall back to
+# 'packed'. Measured (B=16, T2=512, bf16): stage 2 (ch=64, r=2) runs
+# fastest all-plain (56 ms vs 58 all-packed; mixing plain/packed inside
+# the stage is *worse* — 67-73 ms — the layout boundary breaks XLA
+# fusion), stage 3 (ch=32, r=4) all-packed. 'phase' loses everywhere at
+# the XLA level: the phases-to-batch transposes at [B, T, 32ch] cost more
+# than the saved matmul FLOPs (128 ms all-phase-d5). It is kept (exact,
+# tested) because inside a future Pallas MRF kernel the same relayout is
+# a VMEM shuffle, where the 3x FLOP cut should win.
+
+_MRF_STRATEGY: dict = {
+    (64, k, d): "plain" for k in (3, 7, 11) for d in (1, 3, 5)
+}
+
+
+def _strategy(ch: int, k: int, d: int) -> str:
+    return _MRF_STRATEGY.get((ch, k, d), "packed")
 
 
 def _pack_plan(k: int, dilation: int, r: int):
@@ -247,22 +287,67 @@ def _packed_conv1d(kern: dict, x_packed: jnp.ndarray, k: int, dilation: int, r: 
     return y + bias
 
 
-def _resblock1_packed(params, x_packed, kernel_size, dilations, r, c):
-    """`_resblock1` evaluated entirely in packed layout (elementwise ops
-    are layout-invariant; only the convs need packed weights)."""
+def _plain_conv1d_in_packed(kern, x_packed, k, dilation, r, c):
+    """Direct conv on packed-resident activations; the two reshapes are
+    contiguous (no data movement)."""
+    b, m, _ = x_packed.shape
+    y = conv1d(kern, x_packed.reshape(b, m * r, c), dilation=dilation,
+               padding=_get_padding(k, dilation))
+    return y.reshape(b, m, r * c)
+
+
+def _phase_conv1d_in_packed(kern, x_packed, k, dilation, r, c):
+    """Dilation-d conv as d phase-wise dilation-1 convs, phases batched.
+
+    Exact: output position t = s*d + p reads inputs (s + tap - (k-1)//2)*d
+    + p — entirely within phase p, at dilation-1 offsets; out-of-range
+    positions are zeros both as the original conv's implicit padding and
+    as the explicit tail padding here (sliced off before returning, so
+    nothing leaks into subsequent ops)."""
+    b, m, _ = x_packed.shape
+    t = m * r
+    x = x_packed.reshape(b, t, c)
+    tp = -(-t // (dilation * r)) * (dilation * r)
+    if tp != t:
+        x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    s = tp // dilation
+    xph = x.reshape(b, s, dilation, c).transpose(0, 2, 1, 3)
+    xph = xph.reshape(b * dilation, s // r, r * c)
+    y = _packed_conv1d(kern, xph, k, 1, r, c)
+    y = y.reshape(b, dilation, s, c).transpose(0, 2, 1, 3).reshape(b, tp, c)
+    return y[:, :t].reshape(b, m, r * c)
+
+
+_CONV_IMPLS = {
+    "packed": _packed_conv1d,
+    "plain": _plain_conv1d_in_packed,
+    "phase": _phase_conv1d_in_packed,
+}
+
+
+def _mixed_conv1d(kern, x_packed, k, dilation, r, c, strategy=None):
+    name = strategy(c, k, dilation) if strategy else _strategy(c, k, dilation)
+    if dilation == 1 and name == "phase":
+        name = "packed"  # phase degenerates to packed at d=1
+    return _CONV_IMPLS[name](kern, x_packed, k, dilation, r, c)
+
+
+def _resblock1_packed(params, x_packed, kernel_size, dilations, r, c, strategy=None):
+    """`_resblock1` evaluated on packed-resident activations (elementwise
+    ops are layout-invariant; each conv dispatches per-strategy)."""
     for c1, c2, d in zip(params["convs1"], params["convs2"], dilations):
         xt = leaky_relu(x_packed, LRELU_SLOPE)
-        xt = _packed_conv1d(maybe_wn_kernel(c1), xt, kernel_size, d, r, c)
+        xt = _mixed_conv1d(maybe_wn_kernel(c1), xt, kernel_size, d, r, c, strategy)
         xt = leaky_relu(xt, LRELU_SLOPE)
-        xt = _packed_conv1d(maybe_wn_kernel(c2), xt, kernel_size, 1, r, c)
+        xt = _mixed_conv1d(maybe_wn_kernel(c2), xt, kernel_size, 1, r, c, strategy)
         x_packed = xt + x_packed
     return x_packed
 
 
-def _resblock2_packed(params, x_packed, kernel_size, dilations, r, c):
+def _resblock2_packed(params, x_packed, kernel_size, dilations, r, c, strategy=None):
     for conv_p, d in zip(params["convs"], dilations):
         xt = leaky_relu(x_packed, LRELU_SLOPE)
-        xt = _packed_conv1d(maybe_wn_kernel(conv_p), xt, kernel_size, d, r, c)
+        xt = _mixed_conv1d(maybe_wn_kernel(conv_p), xt, kernel_size, d, r, c, strategy)
         x_packed = xt + x_packed
     return x_packed
 

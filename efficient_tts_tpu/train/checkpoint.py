@@ -54,6 +54,15 @@ def load_checkpoint(path: str, template_state: dict, load_only_params: bool = Fa
     return restored
 
 
+def checkpoint_keys(path: str) -> set:
+    """Top-level keys of a saved state tree (from metadata, no data read)."""
+    meta = _checkpointer().metadata(os.path.abspath(path))
+    tree = getattr(meta, "item_metadata", meta)
+    if hasattr(tree, "tree"):
+        tree = tree.tree
+    return set(tree.keys())
+
+
 def latest_checkpoint(outdir: str) -> str | None:
     """Scan `outdir` for the highest-step checkpoint
     (analog of `vocoders/utils.py:scan_checkpoint`)."""

@@ -33,12 +33,14 @@ from efficient_tts_tpu.models import hifigan as hg
 from efficient_tts_tpu.models.hifigan import HiFiGANConfig
 
 
-def init_gan_state(key, voc_cfg: HiFiGANConfig, gen_tx, disc_tx) -> dict:
+def init_gan_state(
+    key, voc_cfg: HiFiGANConfig, gen_tx, disc_tx, ema_decay: float | None = None
+) -> dict:
     kg, kp, ks = jax.random.split(key, 3)
     gen = hg.init_generator(kg, voc_cfg)
     mpd = hg.init_mpd(kp)
     msd = hg.init_msd(ks)
-    return {
+    state = {
         "gen": {"params": gen, "opt_state": gen_tx.init(gen)},
         "disc": {
             "params": {"mpd": mpd, "msd": msd},
@@ -46,6 +48,17 @@ def init_gan_state(key, voc_cfg: HiFiGANConfig, gen_tx, disc_tx) -> dict:
         },
         "step": jnp.zeros((), jnp.int32),
     }
+    if ema_decay is not None:
+        # EMA of generator weights for eval/serving (smoother than the raw
+        # GAN iterate; standard vocoder-training hardening — not in the
+        # reference, which ships no vocoder trainer at all)
+        state["ema"] = gen
+    return state
+
+
+def ema_generator_params(state: dict) -> dict:
+    """Serving/eval generator params: the EMA copy when tracked."""
+    return state.get("ema", state["gen"]["params"])
 
 
 def make_gan_train_step(
@@ -56,6 +69,7 @@ def make_gan_train_step(
     mel_loss_weight: float = 45.0,
     use_stft_loss: bool = False,
     stft_loss_weight: float = 1.0,
+    ema_decay: float | None = None,
 ):
     """Returns train_step(state, batch) -> (state, metrics).
 
@@ -132,6 +146,12 @@ def make_gan_train_step(
             "disc": {"params": d_params, "opt_state": d_opt},
             "step": state["step"] + 1,
         }
+        if ema_decay is not None:
+            new_state["ema"] = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state["ema"],
+                g_params,
+            )
         metrics = {
             "d_loss": d_loss,
             "d_mpd": l_mpd,

@@ -20,6 +20,8 @@ from efficient_tts_tpu.train import checkpoint as ckpt
 log = logging.getLogger(__name__)
 
 
+
+
 class HiFiGANTrainer:
     def __init__(
         self,
@@ -56,7 +58,31 @@ class HiFiGANTrainer:
         return path
 
     def load(self, path):
-        self.state = ckpt.load_checkpoint(path, self.state)
+        """Resume, reconciling the optional "ema" subtree so a change of
+        --ema_decay across runs doesn't die on a raw orbax structure
+        mismatch."""
+        tracking = "ema" in self.state
+        on_disk = "ema" in ckpt.checkpoint_keys(path)
+        if on_disk and not tracking:
+            log.warning(
+                "checkpoint carries an EMA generator but --ema_decay is "
+                "unset: the saved EMA will be dropped and not carried "
+                "forward (pass --ema_decay to keep tracking it)"
+            )
+            template = {**self.state, "ema": self.state["gen"]["params"]}
+            restored = ckpt.load_checkpoint(path, template)
+            restored.pop("ema")
+        elif tracking and not on_disk:
+            log.warning(
+                "checkpoint predates EMA tracking; seeding the EMA from the "
+                "restored generator params"
+            )
+            template = {k: v for k, v in self.state.items() if k != "ema"}
+            restored = ckpt.load_checkpoint(path, template)
+            restored["ema"] = restored["gen"]["params"]
+        else:
+            restored = ckpt.load_checkpoint(path, self.state)
+        self.state = restored
 
     def run(self):
         totals = defaultdict(float)
@@ -103,9 +129,11 @@ class HiFiGANTrainer:
         return self.state
 
     def evaluate(self, step: int):
+        from efficient_tts_tpu.train.hifigan_train_step import ema_generator_params
+
         total, n = 0.0, 0
         for batch in self.eval_batches:
-            out = self.eval_step(self.state["gen"]["params"], batch)
+            out = self.eval_step(ema_generator_params(self.state), batch)
             total += float(jax.device_get(out["mel_l1"]))
             n += 1
         mel_l1 = total / max(n, 1)

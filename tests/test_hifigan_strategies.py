@@ -1,0 +1,72 @@
+"""Per-conv MRF strategy equivalence: plain / packed / phase must be exact.
+
+Packing is a contiguous reshape, so the three conv implementations can be
+mixed freely inside a resblock; each must reproduce the unpacked
+generator bit-near-exactly (f32 reassociation tolerance only).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficient_tts_tpu.models import hifigan as hg
+from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+
+# reaches ch=64 -> r=2, ch=32 -> r=4, ch=16 -> r=8 with the full V1
+# kernel/dilation menu so every strategy sees every (k, d)
+CFG = HiFiGANConfig(
+    upsample_rates=(8, 8, 2, 2),
+    upsample_kernel_sizes=(16, 16, 4, 4),
+    upsample_initial_channel=256,
+    resblock_kernel_sizes=(3, 7, 11),
+    resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = hg.init_generator(jax.random.PRNGKey(0), CFG)
+    mel = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 24, CFG.num_mels)),
+        jnp.float32,
+    )
+    ref = np.asarray(hg.generator(params, mel, CFG, pack_small_channels=False))
+    return params, mel, ref
+
+
+@pytest.mark.parametrize("name", ["packed", "plain", "phase"])
+def test_forced_strategy_matches_plain(setup, name):
+    params, mel, ref = setup
+    out = hg.generator(params, mel, CFG, mrf_strategy=lambda ch, k, d: name)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=1e-5)
+
+
+def test_mixed_strategy_matches_plain(setup):
+    params, mel, ref = setup
+
+    def strat(ch, k, d):  # deliberately heterogeneous
+        if d == 5:
+            return "phase"
+        if k == 11:
+            return "plain"
+        return "packed"
+
+    out = hg.generator(params, mel, CFG, mrf_strategy=strat)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=1e-5)
+
+
+def test_default_table_matches_plain(setup):
+    params, mel, ref = setup
+    out = hg.generator(params, mel, CFG)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=1e-5)
+
+
+def test_phase_handles_length_not_divisible_by_dilation(setup):
+    """T2=22 -> stage lengths 176/1408/2816/5632: not divisible by 3 or 5,
+    exercising the zero-pad + slice path inside the phase conv."""
+    params, mel, _ = setup
+    mel = mel[:, :22]
+    ref = np.asarray(hg.generator(params, mel, CFG, pack_small_channels=False))
+    out = hg.generator(params, mel, CFG, mrf_strategy=lambda ch, k, d: "phase")
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=1e-5)

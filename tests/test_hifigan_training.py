@@ -103,3 +103,110 @@ def test_generator_output_matches_segment():
     wav = hg.generator(params, mel, VOC_CFG)
     assert wav.shape == (1, 8 * VOC_CFG.total_upsampling)
     assert VOC_CFG.total_upsampling == 256
+
+
+def test_ema_tracks_generator():
+    """EMA state follows ema*d + params*(1-d) and feeds eval/serving."""
+    from efficient_tts_tpu.train.hifigan_train_step import ema_generator_params
+
+    decay = 0.9
+    gen_tx = hifigan_adam(lr=2e-4)
+    disc_tx = hifigan_adam(lr=2e-4)
+    state = init_gan_state(
+        jax.random.PRNGKey(0), VOC_CFG, gen_tx, disc_tx, ema_decay=decay
+    )
+    step = make_gan_train_step(VOC_CFG, gen_tx, disc_tx, ema_decay=decay)
+
+    # at init the EMA equals the raw params
+    e0 = jax.tree_util.tree_leaves(state["ema"])[0]
+    p0 = jax.tree_util.tree_leaves(state["gen"]["params"])[0]
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(p0))
+
+    batch = _batch()
+    prev_ema = state["ema"]
+    state, _ = step(state, batch)
+    expect = jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1 - decay), prev_ema, state["gen"]["params"]
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(expect), jax.tree_util.tree_leaves(state["ema"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-10)
+    # serving params resolve to the EMA copy when tracked
+    assert ema_generator_params(state) is state["ema"]
+    # after a step, EMA differs from the raw iterate
+    e1 = jax.tree_util.tree_leaves(state["ema"])[0]
+    p1 = jax.tree_util.tree_leaves(state["gen"]["params"])[0]
+    assert not np.allclose(np.asarray(e1), np.asarray(p1))
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    from efficient_tts_tpu.train import checkpoint as ckpt
+
+    gen_tx = hifigan_adam(lr=2e-4)
+    disc_tx = hifigan_adam(lr=2e-4)
+    state = init_gan_state(
+        jax.random.PRNGKey(0), VOC_CFG, gen_tx, disc_tx, ema_decay=0.99
+    )
+    step = make_gan_train_step(VOC_CFG, gen_tx, disc_tx, ema_decay=0.99)
+    state, _ = step(state, _batch())
+    path = ckpt.save_checkpoint(str(tmp_path), state)
+    restored = ckpt.load_checkpoint(path, jax.tree_util.tree_map(np.zeros_like, state))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state["ema"]),
+        jax.tree_util.tree_leaves(restored["ema"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_resume_reconciliation(tmp_path):
+    """Resuming across an --ema_decay change must not die on an orbax
+    structure mismatch: EMA-in-checkpoint/no-tracking drops it with a
+    warning; tracking/no-EMA-in-checkpoint seeds it from the restored
+    generator."""
+    from efficient_tts_tpu.train.hifigan_trainer import HiFiGANTrainer
+
+    gen_tx = hifigan_adam(lr=2e-4)
+    disc_tx = hifigan_adam(lr=2e-4)
+
+    def trainer_for(state):
+        return HiFiGANTrainer(
+            train_step=None, state=state, train_iter=None,
+            outdir=str(tmp_path / "out"),
+        )
+
+    from efficient_tts_tpu.train import checkpoint as ckpt
+
+    # checkpoint WITH ema
+    s_ema = init_gan_state(jax.random.PRNGKey(0), VOC_CFG, gen_tx, disc_tx,
+                           ema_decay=0.9)
+    step = make_gan_train_step(VOC_CFG, gen_tx, disc_tx, ema_decay=0.9)
+    s_ema, _ = step(s_ema, _batch())
+    p_ema = ckpt.save_checkpoint(str(tmp_path / "a"), s_ema)
+
+    # resume it without tracking -> ema dropped, rest restored
+    t = trainer_for(init_gan_state(jax.random.PRNGKey(1), VOC_CFG, gen_tx, disc_tx))
+    t.load(p_ema)
+    assert "ema" not in t.state
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(t.state["gen"]["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(s_ema["gen"]["params"])[0]),
+    )
+
+    # checkpoint WITHOUT ema
+    s_plain = init_gan_state(jax.random.PRNGKey(2), VOC_CFG, gen_tx, disc_tx)
+    p_plain = ckpt.save_checkpoint(str(tmp_path / "b"), s_plain)
+
+    # resume it with tracking -> ema seeded from restored generator
+    t2 = trainer_for(
+        init_gan_state(jax.random.PRNGKey(3), VOC_CFG, gen_tx, disc_tx,
+                       ema_decay=0.9)
+    )
+    t2.load(p_plain)
+    assert "ema" in t2.state
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t2.state["ema"]),
+        jax.tree_util.tree_leaves(t2.state["gen"]["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
