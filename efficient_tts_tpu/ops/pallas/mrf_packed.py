@@ -1,0 +1,354 @@
+"""Fused MRF stage in space-to-depth packed layout, bf16 or W8A8 int8.
+
+Second-generation Pallas MRF kernel (supersedes the im2col attempt in
+`mrf.py` — see PERF.md "Why a fused Pallas MRF kernel cannot win"):
+instead of materializing im2col patches, every conv is evaluated directly
+in the packed layout as a sum of block-shifted dense matmuls
+
+    y[m, :] = sum_bk  x[m + blo + bk, :] @ Wp[bk]        Wp [kp, 128, 128]
+
+where Wp is the exact 0/1-scattered packed weight
+(`models/hifigan._pack_plan`). Row slices at arbitrary sublane offsets
+are cheap vector shifts; every matmul is 128-dense on the MXU. All 18
+convs of a HiFi-GAN MRF stage (3 ResBlock1 branches + average) run over
+one VMEM-resident tile: 2 HBM passes per stage instead of 38.
+
+In bf16 this matches the XLA packed path's compute roofline (no win —
+XLA already hides the traffic, PERF.md). The point is **int8**: the MXU
+runs int8 at ~2x bf16 rate (337 vs 177 TF/s measured,
+`scripts/probe_int8_pallas.py`), and fusion keeps the quantize /
+dequantize chatter in VMEM. Quantization is W8A8: per-output-lane weight
+scales (static), per-tile dynamic activation scales (absmax), f32
+dequant + bias + leaky between convs, residuals kept in bf16.
+
+Out-of-range packed blocks are re-zeroed after every conv ("mask") so
+halo bias terms never leak, which also keeps the dynamic activation
+scale clean.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+# ---------------------------------------------------------------------------
+# static plan + weight packing
+
+
+def stage_plan(kernel_sizes, dilation_sizes, r: int):
+    """Per-conv (kp, blo, bhi) in kernel order: for each branch, per unit
+    (dilated conv, then d=1 conv). Returns (plan, halo)."""
+    from efficient_tts_tpu.models.hifigan import _pack_plan
+
+    plan = []
+    halo = 0
+    for k, dils in zip(kernel_sizes, dilation_sizes):
+        left = right = 0
+        for d in dils:
+            for dd in (d, 1):
+                _, blo, bhi, kp = _pack_plan(k, dd, r)
+                plan.append((kp, blo, bhi))
+                left += -blo
+                right += bhi
+        halo = max(halo, left, right)
+    return plan, halo
+
+
+def pack_stage_weights(blocks, kernel_sizes, dilation_sizes, r: int, c: int):
+    """ResBlock1 params -> (wp [sum_kp, 128, 128] f32, biases [n_convs, 128]).
+
+    Conv order matches `stage_plan`. Exact packed scatter, weight-norm
+    resolved."""
+    from efficient_tts_tpu.models.hifigan import _PACK_PLAN_CACHE, _pack_plan
+    from efficient_tts_tpu.nn.layers import maybe_wn_kernel
+
+    assert r * c == LANES, (r, c)
+    wps, biases = [], []
+    for block, k, dils in zip(blocks, kernel_sizes, dilation_sizes):
+        for c1, c2, d in zip(block["convs1"], block["convs2"], dils):
+            for conv_p, dd in ((c1, d), (c2, 1)):
+                key = (k, dd, r)
+                if key not in _PACK_PLAN_CACHE:
+                    _PACK_PLAN_CACHE[key] = _pack_plan(k, dd, r)
+                t_map, blo, bhi, kp = _PACK_PLAN_CACHE[key]
+                kern = maybe_wn_kernel(conv_p)
+                wp = jnp.einsum("tbji,tcd->bjcid", jnp.asarray(t_map), kern["w"])
+                wps.append(wp.reshape(kp, LANES, LANES))
+                biases.append(jnp.tile(kern["b"], r))
+    return jnp.concatenate(wps, axis=0), jnp.stack(biases)
+
+
+def quantize_weights(wp: jnp.ndarray, plan) -> tuple:
+    """Per-output-lane symmetric int8 quantization, one scale per conv.
+
+    wp [sum_kp, 128, 128] -> (wq int8 same shape, scales [n_convs, 128])."""
+    wq_parts, scales = [], []
+    off = 0
+    for kp, _, _ in plan:
+        w = wp[off : off + kp]
+        absmax = jnp.max(jnp.abs(w), axis=(0, 1))  # [128] per out lane
+        s = jnp.maximum(absmax, 1e-12) / 127.0
+        wq_parts.append(
+            jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        )
+        scales.append(s.astype(jnp.float32))
+        off += kp
+    return jnp.concatenate(wq_parts, axis=0), jnp.stack(scales)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+
+
+def _leaky(x, slope=0.1):
+    return jnp.maximum(x, 0) + slope * jnp.minimum(x, 0)
+
+
+def _mrf_packed_kernel(
+    x_hbm,
+    w_ref,
+    scale_ref,
+    bias_ref,
+    out_ref,
+    scratch,
+    sem,
+    *,
+    plan,
+    branch_lens,
+    t_tile: int,
+    halo: int,
+    m_total: int,
+    int8: bool,
+):
+    i = pl.program_id(1)
+    b = pl.program_id(0)
+    t_ext = t_tile + 2 * halo
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * t_tile, t_ext), :], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+
+    # global block index = tile_base + rel (x_full row 0 is rel=-halo)
+    tile_base = i * t_tile
+
+    def mask(arr, global_left):
+        rows = arr.shape[0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + global_left
+        ok = (pos >= 0) & (pos < m_total)
+        return arr * ok.astype(arr.dtype)
+
+    def conv(xt, conv_idx, woff):
+        """xt bf16 [L, 128] -> bf16 [L - kp + 1, 128] (+bias, no mask)."""
+        kp, _, _ = plan[conv_idx]
+        out_len = xt.shape[0] - kp + 1
+        if int8:
+            s = jnp.max(jnp.abs(xt.astype(jnp.float32)))
+            s = jnp.maximum(s, 1e-12)
+            xq = jnp.clip(
+                jnp.round(xt.astype(jnp.float32) * (127.0 / s)), -127, 127
+            ).astype(jnp.int8)
+            acc = jnp.zeros((out_len, LANES), jnp.int32)
+            for bk in range(kp):
+                acc += jax.lax.dot_general(
+                    xq[bk : bk + out_len],
+                    w_ref[woff + bk],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            y = acc.astype(jnp.float32) * (
+                (s / 127.0) * scale_ref[conv_idx, :]
+            )
+        else:
+            acc = jnp.zeros((out_len, LANES), jnp.float32)
+            for bk in range(kp):
+                acc += jnp.dot(
+                    xt[bk : bk + out_len],
+                    w_ref[woff + bk],
+                    preferred_element_type=jnp.float32,
+                )
+            y = acc
+        return y + bias_ref[conv_idx, :]
+
+    x_full = scratch[...]  # [t_ext, 128] bf16
+    conv_idx = 0
+    woff = 0
+    acc_out = None
+    for n_units in branch_lens:
+        x_b = x_full
+        # static offset of x_b row 0 relative to the tile start (global
+        # block index = tile_start + rel); slices must stay static
+        rel = -halo
+        for _ in range(n_units):
+            kp_d, blo_d, _bhi_d = plan[conv_idx]
+            xt = _leaky(x_b)
+            y = conv(xt, conv_idx, woff)
+            y_rel = rel - blo_d
+            y = mask(y, tile_base + y_rel).astype(x_full.dtype)
+            woff += kp_d
+            conv_idx += 1
+
+            kp_1, blo_1, _bhi_1 = plan[conv_idx]
+            xt = _leaky(y)
+            y2 = conv(xt, conv_idx, woff)
+            y2_rel = y_rel - blo_1
+            y2 = mask(y2, tile_base + y2_rel).astype(x_full.dtype)
+            woff += kp_1
+            conv_idx += 1
+
+            shrink_l = y2_rel - rel
+            x_b = (
+                jax.lax.slice_in_dim(
+                    x_b, shrink_l, shrink_l + y2.shape[0], axis=0
+                )
+                + y2
+            )
+            rel = y2_rel
+        start = -rel  # center (rel 0 .. t_tile) offset within x_b
+        center = jax.lax.slice_in_dim(x_b, start, start + t_tile, axis=0)
+        acc_out = center if acc_out is None else acc_out + center
+    out_ref[0] = (acc_out / len(branch_lens)).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_sizes", "dilation_sizes", "r", "t_tile", "int8", "interpret",
+    ),
+)
+def mrf_stage_packed(
+    x_packed: jnp.ndarray,
+    wp: jnp.ndarray,
+    scales: jnp.ndarray,
+    biases: jnp.ndarray,
+    kernel_sizes: tuple,
+    dilation_sizes: tuple,
+    r: int,
+    t_tile: int = 1024,
+    int8: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused MRF stage on packed activations [B, M, 128].
+
+    wp: int8 [sum_kp, 128, 128] when `int8` else f32/bf16; scales
+    [n_convs, 128] (ignored in bf16 mode but must be passed); biases
+    [n_convs, 128] (packed lane layout)."""
+    b, m, lanes = x_packed.shape
+    assert lanes == LANES
+    plan, halo = stage_plan(kernel_sizes, dilation_sizes, r)
+    branch_lens = tuple(len(d) for d in dilation_sizes)
+
+    m_pad = -(-m // t_tile) * t_tile
+    x_hbm = jnp.pad(
+        x_packed.astype(jnp.bfloat16),
+        ((0, 0), (halo, halo + (m_pad - m)), (0, 0)),
+    )
+
+    kernel = functools.partial(
+        _mrf_packed_kernel,
+        plan=tuple(plan),
+        branch_lens=branch_lens,
+        t_tile=t_tile,
+        halo=halo,
+        m_total=m,
+        int8=int8,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, m_pad // t_tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_tile, LANES), lambda bb, ii: (bb, ii, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, LANES), x_packed.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t_tile + 2 * halo, LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x_hbm, wp, scales.astype(jnp.float32), biases.astype(jnp.float32))
+    return out[:, :m]
+
+
+def mrf_stage_packed_reference(
+    x_packed, wp, scales, biases, kernel_sizes, dilation_sizes, r, int8=True
+):
+    """Pure-jnp twin of the kernel's quantized math (per-TENSOR activation
+    scale, i.e. one tile) for interpret-free numerical tests."""
+    plan, _ = stage_plan(kernel_sizes, dilation_sizes, r)
+    b, m, lanes = x_packed.shape
+    x = x_packed.astype(jnp.bfloat16)
+
+    def leaky(v):
+        return jnp.maximum(v, 0) + 0.1 * jnp.minimum(v, 0)
+
+    idx = 0
+    woff = 0
+    acc_out = None
+    for dils in dilation_sizes:
+        x_b = x
+        for _unit in dils:
+            src = x_b
+            for _step in range(2):
+                kp, blo, bhi = plan[idx]
+                xt = leaky(src)
+                xp = jnp.pad(xt, ((0, 0), (-blo, bhi), (0, 0)))
+                if int8:
+                    # per-batch-element activation scale (the kernel's grid
+                    # is per (batch, tile); with one tile they coincide)
+                    s = jnp.maximum(
+                        jnp.max(
+                            jnp.abs(xt.astype(jnp.float32)),
+                            axis=(1, 2), keepdims=True,
+                        ),
+                        1e-12,
+                    )
+                    xq = jnp.clip(
+                        jnp.round(xp.astype(jnp.float32) * (127.0 / s)),
+                        -127, 127,
+                    ).astype(jnp.int8)
+                    acc = jnp.zeros((b, m, lanes), jnp.int32)
+                    for bk in range(kp):
+                        acc += jnp.einsum(
+                            "bmi,io->bmo",
+                            xq[:, bk : bk + m].astype(jnp.int32),
+                            wp[woff + bk].astype(jnp.int32),
+                        )
+                    yy = acc.astype(jnp.float32) * ((s / 127.0) * scales[idx])
+                else:
+                    # kernel precision: bf16 operands, f32 accumulation
+                    acc = jnp.zeros((b, m, lanes), jnp.float32)
+                    for bk in range(kp):
+                        acc += jnp.einsum(
+                            "bmi,io->bmo",
+                            xp[:, bk : bk + m]
+                            .astype(jnp.bfloat16)
+                            .astype(jnp.float32),
+                            wp[woff + bk]
+                            .astype(jnp.bfloat16)
+                            .astype(jnp.float32),
+                        )
+                    yy = acc
+                src = (yy + biases[idx]).astype(jnp.bfloat16)
+                woff += kp
+                idx += 1
+            x_b = x_b + src
+        acc_out = x_b if acc_out is None else acc_out + x_b
+    return (acc_out / len(dilation_sizes)).astype(x_packed.dtype)

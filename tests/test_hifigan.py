@@ -192,3 +192,38 @@ def test_multi_resolution_stft_loss_parity():
     sc_j, mag_j = multi_resolution_stft_loss(x, y)
     assert abs(float(sc_j) - sc_t) < 1e-4
     assert abs(float(mag_j) - mag_t) < 1e-4
+
+
+def test_generator_v2_resblock2_parity():
+    """resblock='2' (HiFi-GAN V2/V3 family, `hifigan_model.py:71-88`):
+    weight transplant parity against the torch reference."""
+    from nntts.vocoders.hifigan_model import Generator
+
+    ref_h = _H(
+        resblock="2",
+        upsample_rates=[8, 8, 4],
+        upsample_kernel_sizes=[16, 16, 8],
+        upsample_initial_channel=256,
+        resblock_kernel_sizes=[3, 5, 7],
+        resblock_dilation_sizes=[[1, 2], [2, 6], [3, 12]],
+    )
+    cfg = HiFiGANConfig(
+        resblock="2",
+        upsample_rates=(8, 8, 4),
+        upsample_kernel_sizes=(16, 16, 8),
+        upsample_initial_channel=256,
+        resblock_kernel_sizes=(3, 5, 7),
+        resblock_dilation_sizes=((1, 2), (2, 6), (3, 12)),
+    )
+    torch.manual_seed(1)
+    ref = Generator(ref_h).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = hifigan_generator_from_state_dict(sd, cfg)
+
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((2, 80, 17)).astype(np.float32)
+    with torch.no_grad():
+        wav_t = ref(torch.from_numpy(mel))[:, 0].numpy()
+    wav_j = np.asarray(hg.generator(params, np.swapaxes(mel, 1, 2), cfg))
+    assert wav_j.shape == wav_t.shape == (2, 17 * 256)
+    np.testing.assert_allclose(wav_j, wav_t, atol=2e-4, rtol=1e-3)
