@@ -1,0 +1,338 @@
+"""Production serving: micro-batching TTS engine + stdlib HTTP server.
+
+The reference's only serving surface is a script loop that synthesizes
+one utterance at a time (`nntts/bin/inference.py:97-125`). On TPU the
+unit of work must be a *batch* at a *static shape* (XLA compiles one
+executable per shape), so the engine here:
+
+  * encodes text (char or phone front-end, `efficient_tts_tpu.text`),
+  * pads to a small grid of text-length / mel-length buckets
+    (`utils.masks.bucket_length`) so the jit cache stays small,
+  * groups concurrent requests into micro-batches (up to ``max_batch``,
+    padding the tail of a batch with dummy rows),
+  * runs the two-stage bucketed pipeline (`pipeline.synthesize_fixed`),
+  * trims every waveform to its true length before returning.
+
+`TTSEngine` is transport-agnostic; `DynamicBatcher` adds a background
+thread that coalesces single-utterance requests arriving within
+``max_wait_ms`` of each other; `serve_http` exposes both over a
+dependency-free `http.server` endpoint (JSON in, RIFF/WAV out).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import time
+import wave
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def encode_wav_bytes(wav: np.ndarray, sampling_rate: int) -> bytes:
+    """float32 waveform in (-1, 1) -> 16-bit PCM RIFF/WAV bytes.
+
+    Same output format as the reference's synthesis artifacts
+    (22050 Hz PCM_16 per SURVEY.md; `inference.py:115-124`)."""
+    pcm = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sampling_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+@dataclass
+class EngineStats:
+    requests: int = 0
+    batches: int = 0
+    audio_seconds: float = 0.0
+    compute_seconds: float = 0.0
+    batch_sizes: list = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        mean_b = float(np.mean(self.batch_sizes)) if self.batch_sizes else 0.0
+        rtf = self.compute_seconds / max(self.audio_seconds, 1e-9)
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "audio_seconds": round(self.audio_seconds, 3),
+            "compute_seconds": round(self.compute_seconds, 3),
+            "mean_batch_size": round(mean_b, 2),
+            "rtf": round(rtf, 6),
+            "audio_s_per_s": round(1.0 / max(rtf, 1e-9), 1),
+        }
+
+
+class TTSEngine:
+    """Bucketed batch synthesis around folded (inference-ready) params.
+
+    Thread-safe: a lock serializes device work (one TPU executable runs
+    at a time anyway); encoding/trimming happen outside the lock.
+    """
+
+    def __init__(
+        self,
+        efts_params,
+        voc_params,
+        efts_cfg=None,
+        voc_cfg=None,
+        *,
+        max_batch: int = 16,
+        t1_multiple: int = 16,
+        max_t1: int = 512,
+        t2_multiple: int = 64,
+        max_t2: int = 2048,
+        compute_dtype=None,
+        mrf_impl: str = "xla",
+        phone_vocab: dict | None = None,
+        cleaner_names=("english_cleaners",),
+    ):
+        from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
+        from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+
+        self.efts_params = efts_params
+        self.voc_params = voc_params
+        self.efts_cfg = efts_cfg or EftsCNNConfig()
+        self.voc_cfg = voc_cfg or HiFiGANConfig()
+        self.max_batch = int(max_batch)
+        self.t1_multiple = int(t1_multiple)
+        self.max_t1 = int(max_t1)
+        self.t2_multiple = int(t2_multiple)
+        self.max_t2 = int(max_t2)
+        self.compute_dtype = compute_dtype
+        self.mrf_impl = mrf_impl
+        self.phone_vocab = phone_vocab
+        self.cleaner_names = tuple(cleaner_names)
+        self.stats = EngineStats()
+        self._lock = threading.Lock()
+
+    # -- text front-end ----------------------------------------------------
+
+    def encode(self, text: str) -> np.ndarray:
+        from efficient_tts_tpu.text import phones_to_sequence, text_to_sequence
+
+        if self.phone_vocab is not None:
+            seq = phones_to_sequence(text, self.phone_vocab)
+        else:
+            seq = text_to_sequence(text, self.cleaner_names)
+        if not seq:
+            raise ValueError(f"text encodes to an empty sequence: {text!r}")
+        if len(seq) > self.max_t1:
+            raise ValueError(
+                f"text too long: {len(seq)} symbols > max_t1={self.max_t1}"
+            )
+        return np.asarray(seq, np.int32)
+
+    # -- synthesis ---------------------------------------------------------
+
+    def synthesize_ids(self, seqs: list) -> list:
+        """list of int32 id sequences -> list of float32 waveforms."""
+        out: list = [None] * len(seqs)
+        for lo in range(0, len(seqs), self.max_batch):
+            chunk = seqs[lo : lo + self.max_batch]
+            for i, wav in enumerate(self._run_batch(chunk)):
+                out[lo + i] = wav
+        return out
+
+    def synthesize(self, texts: list) -> list:
+        return self.synthesize_ids([self.encode(t) for t in texts])
+
+    def _run_batch(self, seqs: list) -> list:
+        from efficient_tts_tpu.pipeline import synthesize
+        from efficient_tts_tpu.utils.masks import bucket_length
+
+        n = len(seqs)
+        lengths = np.asarray([len(s) for s in seqs], np.int32)
+        t1 = min(
+            bucket_length(int(lengths.max()), self.t1_multiple), self.max_t1
+        )
+        # pad the batch dim to the static micro-batch size with dummy rows
+        # (length-1, pad symbol); masks zero their contribution and the
+        # rows are dropped before returning.
+        text = np.zeros((self.max_batch, t1), np.int32)
+        for i, s in enumerate(seqs):
+            text[i, : len(s)] = s
+        full_lengths = np.ones((self.max_batch,), np.int32)
+        full_lengths[:n] = lengths
+
+        t0 = time.perf_counter()
+        with self._lock:
+            wav, wav_lengths = synthesize(
+                self.efts_params,
+                self.voc_params,
+                text,
+                full_lengths,
+                self.efts_cfg,
+                self.voc_cfg,
+                bucket_multiple=self.t2_multiple,
+                max_t2=self.max_t2,
+                compute_dtype=self.compute_dtype,
+                mrf_impl=self.mrf_impl,
+            )
+        dt = time.perf_counter() - t0
+
+        wavs = [np.asarray(wav[i, : int(wav_lengths[i])]) for i in range(n)]
+        sr = self.voc_cfg.sampling_rate
+        self.stats.requests += n
+        self.stats.batches += 1
+        self.stats.batch_sizes.append(n)
+        self.stats.audio_seconds += sum(len(w) for w in wavs) / sr
+        self.stats.compute_seconds += dt
+        return wavs
+
+    def warmup(self, t1_lengths=(16, 64), text_id: int = 1) -> None:
+        """Pre-compile the bucket grid so first requests aren't slow.
+
+        Resets the stats counters afterwards so compile time doesn't
+        pollute the served RTF."""
+        for t1 in t1_lengths:
+            seq = np.full((min(t1, self.max_t1),), text_id, np.int32)
+            self._run_batch([seq])
+        self.stats = EngineStats()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent single requests into engine micro-batches.
+
+    `submit(text)` returns a `concurrent.futures.Future` resolving to a
+    float32 waveform. A worker thread drains the queue: it blocks for
+    the first request, then keeps gathering until ``max_batch`` requests
+    are pending or ``max_wait_ms`` has elapsed since the first one.
+    """
+
+    _STOP = object()
+
+    def __init__(self, engine, max_batch: int | None = None, max_wait_ms: float = 10.0):
+        self.engine = engine
+        self.max_batch = max_batch or engine.max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, text: str) -> Future:
+        fut: Future = Future()
+        self._q.put((text, fut))
+        return fut
+
+    def close(self) -> None:
+        self._q.put(self._STOP)
+        self._thread.join(timeout=5)
+
+    def _gather(self):
+        first = self._q.get()
+        if first is self._STOP:
+            return None
+        items = [first]
+        deadline = time.perf_counter() + self.max_wait
+        while len(items) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is self._STOP:
+                self._q.put(self._STOP)  # re-post for the outer loop
+                break
+            items.append(nxt)
+        return items
+
+    def _loop(self) -> None:
+        while True:
+            items = self._gather()
+            if items is None:
+                return
+            texts = [t for t, _ in items]
+            futs = [f for _, f in items]
+            try:
+                wavs = self.engine.synthesize(texts)
+            except Exception as e:  # noqa: BLE001 - propagate per-request
+                for f in futs:
+                    f.set_exception(e)
+                continue
+            for f, w in zip(futs, wavs):
+                f.set_result(w)
+
+
+def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
+                     max_wait_ms: float = 10.0):
+    """Build (without starting) a ThreadingHTTPServer around the engine.
+
+    Endpoints:
+      POST /synthesize   {"text": "..."}          -> audio/wav
+      GET  /healthz                               -> {"ok": true}
+      GET  /stats                                 -> engine counters
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    batcher = DynamicBatcher(engine, max_wait_ms=max_wait_ms)
+    sr = engine.voc_cfg.sampling_rate
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging
+            log.debug("http: " + fmt, *args)
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/stats":
+                self._json(200, engine.stats.as_dict())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+            except (ValueError, KeyError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                wav = batcher.submit(text).result(timeout=120)
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": str(e)})
+                return
+            body = encode_wav_bytes(wav, sr)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher  # for shutdown
+    return server
+
+
+def serve_forever(server) -> None:
+    log.info("serving on %s:%d", *server.server_address)
+    try:
+        server.serve_forever()
+    finally:
+        server.batcher.close()
+        server.server_close()
