@@ -56,7 +56,7 @@ def main():
     def run():
         wav, _, _ = synthesize_fixed(
             efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2,
-            compute_dtype=jnp.bfloat16,
+            compute_dtype=jnp.bfloat16, mrf_impl="auto",
         )
         return wav
 

@@ -146,6 +146,8 @@ def generator(
     compute_dtype=None,
     pack_small_channels: bool = True,
     mrf_strategy=None,
+    mrf_impl: str = "xla",
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """[B, T, num_mels] log-mel -> [B, T*256] waveform in (-1, 1).
 
@@ -156,6 +158,12 @@ def generator(
     space-to-depth packed layout (exact, ~2-3x faster on TPU); each conv
     individually picks plain/packed/phase per the measured `_MRF_STRATEGY`
     table (override with `mrf_strategy(ch, k, d) -> str` for benching).
+    `mrf_impl="pallas"` runs each packed (< 128 ch, ResBlock1) MRF stage
+    as ONE fused Pallas kernel (`ops/pallas/mrf_packed.py`: all 18 convs
+    over a VMEM tile, 2 HBM passes per stage) — inference/serving only
+    (no custom VJP) and computes in bf16 internally; per-stage tile sizes
+    come from `_PALLAS_T_TILE`. Stages the kernel can't host fall back to
+    the XLA strategy table.
     """
     n_kernels = len(cfg.resblock_kernel_sizes)
     if compute_dtype is not None:
@@ -172,19 +180,47 @@ def generator(
         if r > 1:
             b_, t_, _ = x.shape
             x = x.reshape(b_, t_ // r, r * ch)
-        acc = None
-        for j, (rk, dils) in enumerate(
-            zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
-        ):
-            block = params["resblocks"][i * n_kernels + j]
-            if r > 1:
-                fn = _resblock1_packed if cfg.resblock == "1" else _resblock2_packed
-                y = fn(block, x, rk, dils, r, ch, mrf_strategy)
-            else:
-                fn = _resblock1 if cfg.resblock == "1" else _resblock2
-                y = fn(block, x, rk, dils)
-            acc = y if acc is None else acc + y
-        x = acc / n_kernels
+        impl = resolve_mrf_impl(mrf_impl)
+        impl = impl(ch) if callable(impl) else impl
+        if r > 1 and impl == "pallas" and cfg.resblock == "1":
+            from efficient_tts_tpu.ops.pallas import mrf_packed as mp
+
+            blocks = [
+                params["resblocks"][i * n_kernels + j] for j in range(n_kernels)
+            ]
+            wp, biases = mp.pack_stage_weights(
+                blocks, cfg.resblock_kernel_sizes,
+                cfg.resblock_dilation_sizes, r, ch,
+            )
+            plan, _ = mp.stage_plan(
+                cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes, r
+            )
+            x = mp.mrf_stage_packed(
+                x,
+                wp.astype(jnp.bfloat16),
+                jnp.zeros((len(plan), 128), jnp.float32),  # scales: bf16 mode
+                biases,
+                cfg.resblock_kernel_sizes,
+                cfg.resblock_dilation_sizes,
+                r,
+                t_tile=_PALLAS_T_TILE.get(ch, 1024),
+                int8=False,
+                interpret=pallas_interpret,
+            )
+        else:
+            acc = None
+            for j, (rk, dils) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                block = params["resblocks"][i * n_kernels + j]
+                if r > 1:
+                    fn = _resblock1_packed if cfg.resblock == "1" else _resblock2_packed
+                    y = fn(block, x, rk, dils, r, ch, mrf_strategy)
+                else:
+                    fn = _resblock1 if cfg.resblock == "1" else _resblock2
+                    y = fn(block, x, rk, dils)
+                acc = y if acc is None else acc + y
+            x = acc / n_kernels
         if r > 1:
             x = x.reshape(x.shape[0], x.shape[1] * r, ch)
     # reference `F.leaky_relu(x)` at :132 uses torch's default slope 0.01
@@ -239,6 +275,31 @@ def generator(
 _MRF_STRATEGY: dict = {
     (64, k, d): "plain" for k in (3, 7, 11) for d in (1, 3, 5)
 }
+
+# Fused-Pallas-stage tile sizes (rows of 128-lane packed blocks per VMEM
+# tile), measured per stage channel count on a v5e (scripts/
+# bench_mrf_fused.py sweep: ch=32 best at 2048, ch=64 at 1024).
+_PALLAS_T_TILE: dict = {32: 2048, 64: 1024}
+
+
+def serving_mrf_impl(ch: int) -> str:
+    """Measured-in-context production MRF impl per stage channel count
+    (whole-generator timing on a v5e, B=16/T2=512 bf16): the fused Pallas
+    stage kernel wins only for ch=32 (53.9 vs 55.1 ms generator); at
+    ch=64 the kernel boundary costs more XLA fusion than it saves
+    (58.0 ms). Serving-only — the Pallas path has no VJP."""
+    return "pallas" if ch == 32 else "xla"
+
+
+def resolve_mrf_impl(impl):
+    """'auto' -> the measured serving table on TPU, plain XLA elsewhere
+    (the fused kernel is TPU-Mosaic-only and has no sharding rules, so
+    'auto' is for single-chip serving entry points)."""
+    if impl == "auto":
+        import jax
+
+        return serving_mrf_impl if jax.default_backend() == "tpu" else "xla"
+    return impl
 
 
 def _strategy(ch: int, k: int, d: int) -> str:

@@ -244,6 +244,10 @@ def mrf_stage_packed(
     b, m, lanes = x_packed.shape
     assert lanes == LANES
     plan, halo = stage_plan(kernel_sizes, dilation_sizes, r)
+    # Mosaic (this toolchain) crashes on DMA/scratch row extents that are
+    # not bf16-sublane-tile aligned; a larger halo is functionally inert
+    # (out-of-range blocks are masked after every conv), so round up.
+    halo = -(-halo // 16) * 16
     branch_lens = tuple(len(d) for d in dilation_sizes)
 
     m_pad = -(-m // t_tile) * t_tile

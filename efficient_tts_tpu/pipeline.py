@@ -31,7 +31,8 @@ from efficient_tts_tpu.utils.masks import bucket_length, sequence_mask
 
 
 @functools.partial(
-    jax.jit, static_argnames=("efts_cfg", "voc_cfg", "t2", "compute_dtype")
+    jax.jit,
+    static_argnames=("efts_cfg", "voc_cfg", "t2", "compute_dtype", "mrf_impl"),
 )
 def synthesize_fixed(
     efts_params: dict,
@@ -42,6 +43,7 @@ def synthesize_fixed(
     voc_cfg: HiFiGANConfig,
     t2: int,
     compute_dtype=None,
+    mrf_impl: str = "xla",
 ):
     """Fully jitted text -> waveform at a static mel length `t2`.
 
@@ -57,7 +59,9 @@ def synthesize_fixed(
     last = jnp.take_along_axis(e, (text_lengths - 1)[:, None], axis=1)[:, 0]
     mel_lengths = jnp.clip(jnp.round(last).astype(jnp.int32), 1, t2)
     mel = mel * sequence_mask(mel_lengths, t2, dtype=mel.dtype)[:, :, None]
-    wav = hg.generator(voc_params, mel, voc_cfg, compute_dtype=compute_dtype)
+    wav = hg.generator(
+        voc_params, mel, voc_cfg, compute_dtype=compute_dtype, mrf_impl=mrf_impl
+    )
     wav_lengths = mel_lengths * voc_cfg.hop_size
     wav = wav * sequence_mask(wav_lengths, t2 * voc_cfg.hop_size, dtype=wav.dtype)
     return wav, wav_lengths, mel
@@ -82,6 +86,7 @@ def synthesize(
     max_t2: int = 2048,
     compute_dtype=None,
     mesh=None,
+    mrf_impl: str = "xla",
 ):
     """Host-driven batched synthesis with automatic bucket selection.
 
@@ -103,6 +108,6 @@ def synthesize(
     t2 = min(bucket_length(int(mel_lengths.max()), bucket_multiple), max_t2)
     wav, wav_lengths, _ = synthesize_fixed(
         efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, mrf_impl=mrf_impl,
     )
     return np.asarray(jax.device_get(wav)), np.asarray(jax.device_get(wav_lengths))

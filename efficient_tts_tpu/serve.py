@@ -94,7 +94,7 @@ class TTSEngine:
         t2_multiple: int = 64,
         max_t2: int = 2048,
         compute_dtype=None,
-        mrf_impl: str = "xla",
+        mrf_impl: str = "auto",
         phone_vocab: dict | None = None,
         cleaner_names=("english_cleaners",),
     ):

@@ -70,3 +70,27 @@ def test_phase_handles_length_not_divisible_by_dilation(setup):
     ref = np.asarray(hg.generator(params, mel, CFG, pack_small_channels=False))
     out = hg.generator(params, mel, CFG, mrf_strategy=lambda ch, k, d: "phase")
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=1e-5)
+
+
+def test_generator_pallas_mrf_impl_matches_xla(setup):
+    """mrf_impl='pallas' (fused whole-stage kernel, interpret mode on CPU)
+    must match the XLA path at bf16-chain tolerance. The kernel computes
+    convs in bf16 with f32 accumulation, so compare against the bf16 XLA
+    generator."""
+    params, mel, _ = setup
+    ref16 = np.asarray(
+        hg.generator(params, mel, CFG, compute_dtype=jnp.bfloat16),
+        np.float32,
+    )
+    out = np.asarray(
+        hg.generator(
+            params, mel, CFG, compute_dtype=jnp.bfloat16,
+            mrf_impl="pallas", pallas_interpret=True,
+        ),
+        np.float32,
+    )
+    assert out.shape == ref16.shape
+    # tanh-compressed waveform in (-1, 1): absolute tolerance covers the
+    # bf16 rounding divergence across 3 fused stages
+    np.testing.assert_allclose(out, ref16, atol=4e-2)
+    assert np.abs(out - ref16).mean() < 5e-3
