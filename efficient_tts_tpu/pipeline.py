@@ -111,3 +111,98 @@ def synthesize(
         compute_dtype=compute_dtype, mrf_impl=mrf_impl,
     )
     return np.asarray(jax.device_get(wav)), np.asarray(jax.device_get(wav_lengths))
+
+
+# ---------------------------------------------------------------------------
+# streaming synthesis (low time-to-first-audio)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("efts_cfg", "t2", "compute_dtype")
+)
+def decode_mel_fixed(
+    efts_params: dict,
+    text: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    efts_cfg: EftsCNNConfig,
+    t2: int,
+    compute_dtype=None,
+):
+    """Text -> (mel [B, t2, odim], mel_lengths [B]) at a static bucket.
+
+    The mel half of `synthesize_fixed`, for workflows that vocode
+    separately (streaming, GTA-style inspection)."""
+    e, value, tmask = efts.infer_durations(efts_params, efts_cfg, text, text_lengths)
+    mel, _ = efts.infer_decode(
+        efts_params, efts_cfg, value, e, tmask, t2, compute_dtype=compute_dtype
+    )
+    last = jnp.take_along_axis(e, (text_lengths - 1)[:, None], axis=1)[:, 0]
+    mel_lengths = jnp.clip(jnp.round(last).astype(jnp.int32), 1, t2)
+    mel = mel * sequence_mask(mel_lengths, t2, dtype=mel.dtype)[:, :, None]
+    return mel, mel_lengths
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "compute_dtype", "mrf_impl", "pallas_interpret",
+    ),
+)
+def _vocode_window(voc_params, mel, cfg, compute_dtype=None, mrf_impl="xla",
+                   pallas_interpret=False):
+    from efficient_tts_tpu.models import hifigan as hg
+
+    return hg.generator(
+        voc_params, mel, cfg, compute_dtype=compute_dtype, mrf_impl=mrf_impl,
+        pallas_interpret=pallas_interpret,
+    )
+
+
+def stream_vocoder(
+    voc_params: dict,
+    mel: np.ndarray,
+    voc_cfg: HiFiGANConfig = HiFiGANConfig(),
+    chunk_frames: int = 64,
+    overlap_frames: int = 24,
+    compute_dtype=None,
+    mrf_impl: str = "xla",
+    pallas_interpret: bool = False,
+):
+    """Yield waveform chunks for a host mel [T, odim], exactly equal to
+    the full-pass generator output (same overlap-interior scheme as
+    `hifigan.generator_chunked`; the generator's receptive field is
+    ~14 mel frames per side, so overlap_frames >= 24 keeps interiors
+    bit-equal). Compiles at most three window shapes, each reused for
+    any utterance length; the first chunk arrives after one small
+    window's latency rather than the whole utterance's."""
+    t = mel.shape[0]
+    hop = voc_cfg.total_upsampling
+    ov = overlap_frames
+    kw = dict(compute_dtype=compute_dtype, mrf_impl=mrf_impl,
+              pallas_interpret=pallas_interpret)
+    if t <= chunk_frames + 2 * ov:
+        # short utterance: single window (padded to a fixed small bucket
+        # so repeat calls share one executable)
+        pad_t = min(bucket_length(t, chunk_frames), chunk_frames + 2 * ov)
+        seg = np.zeros((1, pad_t, mel.shape[1]), mel.dtype)
+        seg[0, :t] = mel
+        wav = _vocode_window(voc_params, jnp.asarray(seg), voc_cfg, **kw)
+        yield np.asarray(jax.device_get(wav[0, : t * hop]))
+        return
+    n_chunks = -(-t // chunk_frames)
+    for i in range(n_chunks):
+        lo = i * chunk_frames
+        hi = min(t, lo + chunk_frames)
+        if i == 0:
+            seg = mel[: chunk_frames + ov]
+            keep_lo = 0
+        elif i == n_chunks - 1:
+            seg = mel[t - (chunk_frames + ov):]
+            keep_lo = (chunk_frames + ov) - (hi - lo)
+        else:
+            seg = mel[lo - ov : hi + ov]
+            keep_lo = ov
+        wav = _vocode_window(voc_params, jnp.asarray(seg[None]), voc_cfg, **kw)
+        yield np.asarray(
+            jax.device_get(wav[0, keep_lo * hop : (keep_lo + hi - lo) * hop])
+        )

@@ -191,6 +191,65 @@ class TTSEngine:
         self.stats.compute_seconds += dt
         return wavs
 
+    def stream(self, text: str, chunk_frames: int = 64, overlap_frames: int = 24):
+        """Yield float32 waveform chunks for one utterance.
+
+        Time-to-first-audio is one mel decode plus one small vocoder
+        window instead of the whole utterance: the text is decoded to a
+        bucketed mel (stage 1+2), then the mel is vocoded window-by-window
+        (`pipeline.stream_vocoder`, exact w.r.t. the full generator pass;
+        interior chunks need overlap_frames >= the generator's ~14-frame
+        receptive field)."""
+        from efficient_tts_tpu.pipeline import decode_mel_fixed, stream_vocoder
+        from efficient_tts_tpu.utils.masks import bucket_length
+
+        seq = self.encode(text)
+        t1 = min(bucket_length(len(seq), self.t1_multiple), self.max_t1)
+        text_ids = np.zeros((1, t1), np.int32)
+        text_ids[0, : len(seq)] = seq
+        lengths = np.asarray([len(seq)], np.int32)
+
+        t0 = time.perf_counter()
+        # stage 1+2 at a coarse bucket, then trim the host mel to a fine
+        # bucket of the true length (zero mel frames beyond L, the
+        # batched-pipeline tail semantic). Only the decode holds the
+        # engine lock — window vocoding interleaves with batch traffic
+        # (jit dispatch is thread-safe; the device serializes).
+        import jax
+
+        with self._lock:
+            mel, mel_len = decode_mel_fixed(
+                self.efts_params, text_ids, lengths, self.efts_cfg, self.max_t2,
+                compute_dtype=self.compute_dtype,
+            )
+            L = int(jax.device_get(mel_len)[0])
+        lb = min(bucket_length(L, 32), self.max_t2)
+        mel_host = np.asarray(jax.device_get(mel[0, :lb]))
+
+        hop = self.voc_cfg.hop_size
+        remaining = L * hop
+        for piece in stream_vocoder(
+            self.voc_params,
+            mel_host,
+            self.voc_cfg,
+            chunk_frames=chunk_frames,
+            overlap_frames=overlap_frames,
+            compute_dtype=self.compute_dtype,
+            mrf_impl=self.mrf_impl,
+        ):
+            if remaining <= 0:
+                break
+            piece = piece[: max(remaining, 0)]
+            remaining -= len(piece)
+            if len(piece):
+                yield piece
+        dt = time.perf_counter() - t0
+        self.stats.requests += 1
+        self.stats.batches += 1
+        self.stats.batch_sizes.append(1)
+        self.stats.audio_seconds += L * hop / self.voc_cfg.sampling_rate
+        self.stats.compute_seconds += dt
+
     def warmup(self, t1_lengths=(16, 64), text_id: int = 1) -> None:
         """Pre-compile the bucket grid so first requests aren't slow.
 
@@ -272,7 +331,10 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
     """Build (without starting) a ThreadingHTTPServer around the engine.
 
     Endpoints:
-      POST /synthesize   {"text": "..."}          -> audio/wav
+      POST /synthesize          {"text": "..."}   -> audio/wav
+      POST /synthesize_stream   {"text": "..."}   -> chunked raw PCM_16
+           (headers X-Sample-Rate / X-Audio-Format: pcm_s16le; first
+           chunk arrives after one vocoder window, not the whole utt)
       GET  /healthz                               -> {"ok": true}
       GET  /stats                                 -> engine counters
     """
@@ -282,6 +344,8 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
     sr = engine.voc_cfg.sampling_rate
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # required for chunked streaming
+
         def log_message(self, fmt, *args):  # route through logging
             log.debug("http: " + fmt, *args)
 
@@ -302,7 +366,7 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path not in ("/synthesize", "/synthesize_stream"):
                 self._json(404, {"error": "not found"})
                 return
             try:
@@ -311,6 +375,9 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
                 text = req["text"]
             except (ValueError, KeyError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
+                return
+            if self.path == "/synthesize_stream":
+                self._stream(text)
                 return
             try:
                 wav = batcher.submit(text).result(timeout=120)
@@ -323,6 +390,35 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream(self, text: str) -> None:
+            try:
+                chunks = engine.stream(text)
+                first = next(chunks)  # validate before committing to 200
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Audio-Format", "pcm_s16le")
+            self.send_header("X-Sample-Rate", str(sr))
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_chunk(wav_piece: np.ndarray) -> None:
+                pcm = np.clip(wav_piece, -1.0, 1.0)
+                data = (pcm * 32767.0).astype("<i2").tobytes()
+                self.wfile.write(f"{len(data):x}\r\n".encode())
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
+            try:
+                write_chunk(first)
+                for piece in chunks:
+                    write_chunk(piece)
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                log.debug("stream client disconnected")
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher  # for shutdown

@@ -181,3 +181,70 @@ def test_http_server_roundtrip():
         server.batcher.close()
         server.server_close()
         t.join(timeout=5)
+
+
+def test_stream_vocoder_matches_full_pass():
+    """Chunked streaming must reproduce the full generator pass exactly
+    on interiors (same guarantee as generator_chunked)."""
+    import jax.numpy as jnp
+    from efficient_tts_tpu.pipeline import stream_vocoder
+
+    voc_params = fold_weight_norm(hg.init_generator(jax.random.PRNGKey(1), VOC_CFG))
+    mel = np.random.default_rng(0).standard_normal((150, VOC_CFG.num_mels)).astype(
+        np.float32
+    )
+    full = np.asarray(hg.generator(voc_params, jnp.asarray(mel[None]), VOC_CFG))[0]
+    pieces = list(
+        stream_vocoder(voc_params, mel, VOC_CFG, chunk_frames=48, overlap_frames=24)
+    )
+    assert len(pieces) > 1
+    streamed = np.concatenate(pieces)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=1e-5)
+
+
+def test_engine_stream_matches_batch():
+    eng = _engine(max_batch=2)
+    text = "A reasonably long sentence for streaming synthesis to chunk up."
+    batch_wav = eng.synthesize([text])[0]
+    pieces = list(eng.stream(text, chunk_frames=8, overlap_frames=8))
+    streamed = np.concatenate(pieces)
+    assert len(pieces) > 1
+    assert len(streamed) == len(batch_wav)
+    # interiors are exact; the last ~receptive-field frames differ between
+    # the exact-edge streaming window and the zero-mel-padded batch bucket
+    n = len(batch_wav) - 20 * VOC_CFG.hop_size
+    np.testing.assert_allclose(streamed[:n], batch_wav[:n], atol=2e-5)
+
+
+def test_http_stream_roundtrip():
+    eng = _engine(max_batch=2)
+    server = make_http_server(eng, host="127.0.0.1", port=0, max_wait_ms=5.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        text = "Streaming over HTTP with chunked transfer encoding."
+        req = urllib.request.Request(
+            base + "/synthesize_stream",
+            data=json.dumps({"text": text}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["X-Audio-Format"] == "pcm_s16le"
+            assert int(r.headers["X-Sample-Rate"]) == VOC_CFG.sampling_rate
+            raw = r.read()
+        pcm = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+        assert len(pcm) > 0 and len(pcm) % VOC_CFG.hop_size == 0
+        # must match the non-streamed endpoint (PCM16 quantization tol),
+        # except the final receptive-field tail (exact-edge vs zero-pad)
+        direct = eng.synthesize([text])[0]
+        assert len(pcm) == len(direct)
+        n = len(direct) - 20 * VOC_CFG.hop_size
+        np.testing.assert_allclose(pcm[:n], direct[:n], atol=2e-4)
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        server.server_close()
+        t.join(timeout=5)
