@@ -33,8 +33,10 @@ from efficient_tts_tpu.nn.layers import (
     conv2d_init,
     conv_transpose1d,
     conv_transpose1d_init,
+    conv_transpose1d_subpixel,
     leaky_relu,
     maybe_wn_kernel,
+    subpixel_transpose_weight,
     weight_norm_init,
 )
 
@@ -147,6 +149,7 @@ def generator(
     pack_small_channels: bool = True,
     mrf_strategy=None,
     mrf_impl: str = "xla",
+    ups_impl: str = "auto",
     pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """[B, T, num_mels] log-mel -> [B, T*256] waveform in (-1, 1).
@@ -169,17 +172,25 @@ def generator(
     if compute_dtype is not None:
         mel = mel.astype(compute_dtype)
     x = conv1d(maybe_wn_kernel(params["conv_pre"]), mel, padding=3)
+    # `packed_r` tracks residency: x is [B, M, packed_r * ch] holding
+    # packed_r consecutive positions per row (1 = plain). The late
+    # upsamples are evaluated *inside* this layout (sub-pixel form, see
+    # `_upsample`) so the small-channel tail never relayouts.
+    packed_r = 1
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         x = leaky_relu(x, LRELU_SLOPE)
-        x = conv_transpose1d(maybe_wn_kernel(params["ups"][i]), x, stride=u,
-                             padding=(k - u) // 2)
-        ch = x.shape[-1]
+        x, packed_r = _upsample(
+            maybe_wn_kernel(params["ups"][i]), x, packed_r, u, k,
+            resolve_ups_impl(ups_impl, u, k, x.shape[-1] // packed_r),
+        )
+        ch = (x.shape[-1] // packed_r) if packed_r > 1 else x.shape[-1]
         r = 128 // ch if (pack_small_channels and ch < 128 and 128 % ch == 0) else 1
-        if r > 1 and x.shape[1] % r != 0:
+        if r > 1 and x.shape[1] * packed_r % r != 0:
             r = 1
-        if r > 1:
-            b_, t_, _ = x.shape
-            x = x.reshape(b_, t_ // r, r * ch)
+        if r != packed_r:
+            b_, m_, _ = x.shape
+            x = x.reshape(b_, m_ * packed_r // r, r * ch)
+        packed_r = r
         impl = resolve_mrf_impl(mrf_impl)
         impl = impl(ch) if callable(impl) else impl
         if r > 1 and impl == "pallas" and cfg.resblock == "1":
@@ -221,10 +232,24 @@ def generator(
                     y = fn(block, x, rk, dils)
                 acc = y if acc is None else acc + y
             x = acc / n_kernels
-        if r > 1:
-            x = x.reshape(x.shape[0], x.shape[1] * r, ch)
     # reference `F.leaky_relu(x)` at :132 uses torch's default slope 0.01
     x = leaky_relu(x, 0.01)
+    ch = x.shape[-1] // packed_r
+    if (
+        packed_r > 1
+        and packed_r * ch == 128
+        and (x.shape[1] * packed_r) % 128 == 0
+        and params["conv_post"].get("w", params["conv_post"].get("v")).shape[-1] == 1
+    ):
+        # conv_post in packed layout: 128 output positions per matmul row
+        # (N=1 output channel would otherwise waste 127/128 MXU lanes).
+        y = _packed_conv_post(
+            maybe_wn_kernel(params["conv_post"]), x, packed_r, ch
+        )
+        wav = jnp.tanh(y.astype(jnp.float32))
+        return wav.reshape(wav.shape[0], -1)
+    if packed_r > 1:
+        x = x.reshape(x.shape[0], x.shape[1] * packed_r, ch)
     x = conv1d(maybe_wn_kernel(params["conv_post"]), x, padding=3)
     return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
@@ -276,6 +301,142 @@ _MRF_STRATEGY: dict = {
     (64, k, d): "plain" for k in (3, 7, 11) for d in (1, 3, 5)
 }
 
+# ---------------------------------------------------------------------------
+# upsample (transposed conv) strategy
+#
+# XLA's input-dilated lowering of ConvTranspose1d does NOT skip the s-1
+# zeros between samples (measured at the full k-tap FLOP count), and at
+# the late small-channel stages it runs ~10x off roofline. The sub-pixel
+# reformulation (`nn/layers.py:subpixel_transpose_weight`) is one dense
+# (k_eff+1)-tap conv producing s*Cout channels — but its depth-to-space
+# reshape is a physical retile on TPU's (sublane, lane) tiling, which
+# eats the win when the result must land in plain layout. The production
+# path therefore fuses the phase dimension into the packed-128 layout
+# the small-channel MRF stages already use:
+#
+#   'subpixel'        — dense subpixel conv; output [B, T, s*Cout]. When
+#                       s*Cout == 128 this IS the packed r=s layout the
+#                       next MRF stage wants (ups2: 128->2x64) — zero
+#                       relayout. Also wins standalone at ch>=256 (ups0).
+#   'subpixel_packed' — subpixel conv evaluated inside the current packed
+#                       residency via the scatter-plan machinery (ups3:
+#                       packed r=2 over 64ch -> packed r=4 over 32ch);
+#                       requires s*Cout == Cin and k <= 2s.
+#   'dilated'         — lax input-dilated conv (plain layout); the right
+#                       call where channels are large enough that XLA's
+#                       lowering is already at roofline (ups1: 256->128).
+#
+# Defaults measured in-context on a v5e (B=16, T2=512, bf16): see PERF.md.
+
+
+def _ups_key(u: int, k: int, in_ch: int):
+    return (u, k, in_ch)
+
+
+# Isolated timings mislead here (subpixel wins standalone at ups0/ups2
+# but loses 0.4-28 ms in-context to lost XLA fusion); the table below is
+# chosen by whole-generator timing (B=16, T2=512, bf16, v5e):
+#   all dilated 51.07 ms / subpixel@ups0 51.47 / subpixel@ups2 78.87 /
+#   subpixel_packed@ups3 50.78.
+_UPS_IMPL: dict = {
+    (2, 4, 64): "subpixel_packed",  # ups3: stays in packed residency
+}
+
+
+def resolve_ups_impl(impl, u: int, k: int, in_ch: int) -> str:
+    if impl == "auto":
+        return _UPS_IMPL.get(_ups_key(u, k, in_ch), "dilated")
+    if callable(impl):
+        return impl(u, k, in_ch)
+    return impl
+
+
+def _upsample(kern: dict, x: jnp.ndarray, packed_r: int, u: int, k: int, impl: str):
+    """Dispatch one upsample stage; returns (x, packed_r) in the layout
+    the impl produces. `x` is [B, M, packed_r*Cin]."""
+    pad = (k - u) // 2
+    cin = x.shape[-1] // packed_r
+    cout = kern["w"].shape[-1]
+    k_eff = -(-k // u)
+    if impl == "subpixel_packed":
+        ok = (
+            packed_r > 1
+            and u * cout == cin
+            and k - 2 * pad == u
+            and k_eff == 2
+        )
+        if not ok:
+            impl = "subpixel"  # fall through
+        else:
+            wt, _ = subpixel_transpose_weight(kern["w"], u, pad)
+            # square (Cin -> u*Cout == Cin) dilation-1 conv, window
+            # k_eff+1=3, symmetric pad 1 == the packed plan's own padding
+            sub = {"w": wt, "b": jnp.tile(kern["b"], u)}
+            y = _packed_conv1d(sub, x, k_eff + 1, 1, packed_r, cin)
+            # lane order: (j, f, co) == position i = j*u+f over Cout ==
+            # packed r*u layout over Cout
+            return y, packed_r * u
+    if packed_r > 1:
+        x = x.reshape(x.shape[0], x.shape[1] * packed_r, cin)
+    if impl == "subpixel" and k - 2 * pad == u:
+        z = conv_transpose1d_subpixel(kern, x, stride=u, padding=pad)
+        # conv_transpose1d_subpixel already reshaped to [B, T*u, Cout];
+        # recover the pre-reshape packed interpretation when it is the
+        # 128-lane layout downstream wants (free: same buffer).
+        if u * cout == 128:
+            return z.reshape(z.shape[0], z.shape[1] // u, u * cout), u
+        return z, 1
+    return conv_transpose1d(kern, x, stride=u, padding=pad), 1
+
+
+def _conv_post_plan(k: int, r_in: int, c: int):
+    """Static scatter plan for the packed conv_post: 128 output positions
+    (Cout=1) per matmul row from packed [*, r_in*C] input rows.
+    Returns (wp_map [k, kp, r_in*C, 128], stride, lo, hi)."""
+    import numpy as np
+
+    pad = (k - 1) // 2
+    r_out = 128
+    stride = r_out // r_in
+    offs = [i + tap - pad for i in range(r_out) for tap in range(k)]
+    blo, bhi = min(offs) // r_in, max(offs) // r_in
+    kp = bhi - blo + 1
+    wmap = np.zeros((k, kp, r_in * c, r_out), np.float32)
+    for i in range(r_out):
+        for tap in range(k):
+            blk, j = divmod(i + tap - pad - blo * r_in, r_in)
+            wmap[tap, blk, j * c : (j + 1) * c, i] = 1.0
+    return wmap, stride, -blo, bhi - stride + 1
+
+
+_CONV_POST_PLAN_CACHE: dict = {}
+
+
+def _packed_conv_post(kern: dict, x_packed: jnp.ndarray, r_in: int, c: int):
+    """conv_post (C->1, k=7) on packed-resident activations: the direct
+    lowering has N=1 output channel (1/128 MXU lanes, measured 2.8 ms at
+    the LJ serving shape); packing 128 output positions into N makes it
+    one dense strided conv (~0.1 ms compute + the unavoidable HBM read).
+    Output [B, T/128, 128] — the caller reshapes to the waveform."""
+    w = kern["w"]  # [k, C, 1]
+    k = w.shape[0]
+    key = (k, r_in, c)
+    if key not in _CONV_POST_PLAN_CACHE:
+        _CONV_POST_PLAN_CACHE[key] = _conv_post_plan(k, r_in, c)
+    wmap, stride, lo, hi = _CONV_POST_PLAN_CACHE[key]
+    # wp[kp, j*C+ci, i] = sum_tap wmap[tap, kp, j*C+ci, i] * w[tap, ci, 0]
+    wc = jnp.tile(w[:, :, 0], (1, r_in))  # [k, r_in*C] (ci per j slot)
+    wp = jnp.einsum("tbmi,tm->bmi", jnp.asarray(wmap), wc)
+    y = jax.lax.conv_general_dilated(
+        x_packed,
+        wp.astype(x_packed.dtype),
+        window_strides=(stride,),
+        padding=[(lo, hi)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + kern["b"][0]
+
 # Fused-Pallas-stage tile sizes (rows of 128-lane packed blocks per VMEM
 # tile), measured per stage channel count on a v5e (scripts/
 # bench_mrf_fused.py sweep: ch=32 best at 2048, ch=64 at 1024).
@@ -284,11 +445,14 @@ _PALLAS_T_TILE: dict = {32: 2048, 64: 1024}
 
 def serving_mrf_impl(ch: int) -> str:
     """Measured-in-context production MRF impl per stage channel count
-    (whole-generator timing on a v5e, B=16/T2=512 bf16): the fused Pallas
-    stage kernel wins only for ch=32 (53.9 vs 55.1 ms generator); at
-    ch=64 the kernel boundary costs more XLA fusion than it saves
-    (58.0 ms). Serving-only — the Pallas path has no VJP."""
-    return "pallas" if ch == 32 else "xla"
+    (whole-generator timing on a v5e, B=16/T2=512 bf16). History: with a
+    plain conv_post the fused Pallas stage-3 kernel won (53.9 vs 55.1 ms
+    generator); after the packed conv_post + packed-residency rework the
+    XLA path fuses mrf[3] into the packed tail and the kernel boundary
+    now LOSES (60.3 vs 51.0 ms) — production is all-XLA again. The
+    kernel stays (exact, tested) as the scaffold for workloads where the
+    stage runs standalone."""
+    return "xla"
 
 
 def resolve_mrf_impl(impl):

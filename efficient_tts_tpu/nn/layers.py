@@ -19,6 +19,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # initializers
@@ -235,6 +236,69 @@ def conv_transpose1d(
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=x.dtype,
     )
+    return y + params["b"].astype(x.dtype)
+
+
+def subpixel_transpose_weight(w: jnp.ndarray, stride: int, padding: int):
+    """Sub-pixel reformulation of a transposed-conv weight — exact.
+
+    For output position o with phase f = o mod s and row j = o // s,
+    torch's ConvTranspose1d is
+
+        y[j*s + f] = sum_m x[j + (f+p)//s - m] . w[(f+p) mod s + m*s]
+                   = sum_t x[j + t - (k_eff-1)] . Wt[t, :, f*Cout:]
+
+    with Wt[t, ci, f*Cout+co] = w[f + p + (k_eff-1-t)*s, ci, co] (zero
+    outside [0, k)), k_eff = ceil(k/s), window k_eff+1. I.e. the whole
+    op is ONE dense (k_eff+1)-tap correlation producing s*Cout channels
+    whose depth-to-space reshape is *contiguous* (no relayout, no slice)
+    whenever k - 2*padding == s, which holds for every HiFi-GAN V1
+    upsample (k=16,s=8,p=4 and k=4,s=2,p=1).
+
+    Returns (Wt [k_eff+1, Cin, s*Cout], pad (k_eff-1, 1)).
+    """
+    k, cin, cout = w.shape
+    s = stride
+    if k - 2 * padding != s:
+        raise ValueError(
+            f"aligned sub-pixel form needs k - 2p == s, got k={k} s={s} p={padding}"
+        )
+    k_eff = -(-k // s)
+    tap = (
+        np.arange(s)[None, :]
+        + padding
+        + (k_eff - 1 - np.arange(k_eff + 1))[:, None] * s
+    )  # [k_eff+1, s]
+    valid = (tap >= 0) & (tap < k)
+    wt = jnp.where(
+        jnp.asarray(valid)[:, :, None, None], w[np.clip(tap, 0, k - 1)], 0
+    )  # [k_eff+1, s, Cin, Cout]
+    wt = wt.transpose(0, 2, 1, 3).reshape(k_eff + 1, cin, s * cout)
+    return wt, (k_eff - 1, 1)
+
+
+def conv_transpose1d_subpixel(
+    params: dict, x: jnp.ndarray, stride: int, padding: int
+) -> jnp.ndarray:
+    """`conv_transpose1d` evaluated in sub-pixel form (see
+    `subpixel_transpose_weight`) — exact, and dense on the MXU where the
+    input-dilated lowering contracts s-1 zeros per input sample (XLA does
+    not skip them: measured at the 16-tap FLOP count for k=16, s=8).
+    Pure jnp ops, so autodiff works."""
+    w = params["w"]  # [k, Cin, Cout]
+    s = stride
+    cout = w.shape[-1]
+    wt, (lo, hi) = subpixel_transpose_weight(w, s, padding)
+    z = jax.lax.conv_general_dilated(
+        x,
+        wt.astype(x.dtype),
+        window_strides=(1,),
+        padding=[(lo, hi)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x.dtype,
+    )  # [B, T, s*Cout]
+    b, n, _ = z.shape
+    y = z.reshape(b, n * s, cout)
     return y + params["b"].astype(x.dtype)
 
 

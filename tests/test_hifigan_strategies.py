@@ -94,3 +94,56 @@ def test_generator_pallas_mrf_impl_matches_xla(setup):
     # bf16 rounding divergence across 3 fused stages
     np.testing.assert_allclose(out, ref16, atol=4e-2)
     assert np.abs(out - ref16).mean() < 5e-3
+
+
+@pytest.mark.parametrize(
+    "impl", ["dilated", "subpixel", "subpixel_packed", "auto"]
+)
+def test_generator_ups_impl_matches_dilated(setup, impl):
+    """Every upsample implementation (input-dilated conv / dense sub-pixel
+    form / sub-pixel inside packed residency) must reproduce the plain
+    generator; `subpixel_packed` falls back per-stage where its layout
+    preconditions don't hold."""
+    params, mel, ref = setup
+    out = hg.generator(params, mel, CFG, ups_impl=impl)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=1e-5)
+
+
+def test_subpixel_transpose_matches_dilated_lowering():
+    from efficient_tts_tpu.nn.layers import (
+        conv_transpose1d,
+        conv_transpose1d_init,
+        conv_transpose1d_subpixel,
+    )
+
+    rng = np.random.default_rng(7)
+    for k, s, p, cin, cout, t in [
+        (16, 8, 4, 8, 4, 13),   # V1 ups0/1 geometry
+        (4, 2, 1, 6, 3, 17),    # V1 ups2/3 geometry
+        (6, 4, 1, 4, 4, 11),    # k - 2p == s, k_eff == 2
+        (3, 1, 1, 3, 5, 9),     # stride 1 degenerate
+    ]:
+        params = conv_transpose1d_init(jax.random.PRNGKey(k + s), cin, cout, k)
+        x = jnp.asarray(rng.standard_normal((2, t, cin)), jnp.float32)
+        a = conv_transpose1d(params, x, stride=s, padding=p)
+        b = conv_transpose1d_subpixel(params, x, stride=s, padding=p)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_packed_conv_post_matches_plain():
+    """The strided packed conv_post (128 output positions per matmul row)
+    is engaged whenever the tail stays packed with T % 128 == 0; compare
+    against the direct N=1 lowering."""
+    from efficient_tts_tpu.nn.layers import conv1d, conv1d_init
+
+    rng = np.random.default_rng(3)
+    c, r_in, t = 32, 4, 1024
+    kern = conv1d_init(jax.random.PRNGKey(0), c, 1, 7)
+    x = jnp.asarray(rng.standard_normal((2, t, c)), jnp.float32)
+    ref = conv1d(kern, x, padding=3)[..., 0]
+    xp = x.reshape(2, t // r_in, r_in * c)
+    out = hg._packed_conv_post(kern, xp, r_in, c)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(2, t), np.asarray(ref), atol=1e-5
+    )
