@@ -89,3 +89,47 @@ def test_rtf_meter():
         pass
     assert m.audio_seconds == 1.0
     assert m.throughput > 0
+
+
+def test_data_utils_split_combine_subset(tmp_path):
+    """Recipe tooling analog of the reference's Kaldi data-dir utils
+    (utils/split_data.sh auto-balanced counts, combine_data.sh dedup,
+    make_subset_data.sh near-equal shards)."""
+    from efficient_tts_tpu.bin.data_utils import main
+
+    src = tmp_path / "all.txt"
+    src.write_text("".join(f"wavs/{i:03d}.wav|text {i}\n" for i in range(11)))
+
+    a, b = tmp_path / "a.txt", tmp_path / "b.txt"
+    assert main(["split", str(src), str(a), str(b), "--num_first", "8"]) == 0
+    assert len(a.read_text().splitlines()) == 8
+    assert len(b.read_text().splitlines()) == 3
+
+    # shuffle is deterministic per seed and partitions exactly
+    a2, b2 = tmp_path / "a2.txt", tmp_path / "b2.txt"
+    assert main(["split", str(src), str(a2), str(b2), "--shuffle"]) == 0
+    la, lb = a2.read_text().splitlines(), b2.read_text().splitlines()
+    assert len(la) == 5 and len(lb) == 6
+    assert sorted(la + lb) == sorted(src.read_text().splitlines())
+
+    # combine dedups by wav path, first occurrence wins
+    dup = tmp_path / "dup.txt"
+    dup.write_text("wavs/003.wav|OTHER\nwavs/100.wav|new\n")
+    out = tmp_path / "comb.txt"
+    assert main(["combine", str(out), str(src), str(dup)]) == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) == 12
+    assert "wavs/003.wav|text 3" in lines  # first occurrence kept
+
+    # subset: near-equal contiguous shards covering everything once
+    sub = tmp_path / "shards"
+    assert main(["subset", str(src), "4", str(sub)]) == 0
+    shards = [
+        (sub / f"split.{i}.txt").read_text().splitlines() for i in range(1, 5)
+    ]
+    assert [len(s) for s in shards] == [3, 3, 3, 2]
+    assert [ln for s in shards for ln in s] == src.read_text().splitlines()
+
+    # error paths return nonzero
+    assert main(["split", str(src), str(a), str(b), "--num_first", "11"]) == 1
+    assert main(["subset", str(src), "0", str(sub)]) == 1
