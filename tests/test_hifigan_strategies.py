@@ -147,3 +147,23 @@ def test_packed_conv_post_matches_plain():
     np.testing.assert_allclose(
         np.asarray(out).reshape(2, t), np.asarray(ref), atol=1e-5
     )
+
+
+def test_generator_gradients_match_across_impls(setup):
+    """Training runs through ups_impl='auto' (sub-pixel packed ups) and
+    the packed conv_post; gradients w.r.t. every generator parameter must
+    match the plain/dilated lowering (same math, fp reassociation only)."""
+    params, mel, _ = setup
+
+    def loss(p, **kw):
+        return jnp.mean(jnp.abs(hg.generator(p, mel, CFG, **kw)))
+
+    g_ref = jax.grad(loss)(params, pack_small_channels=False, ups_impl="dilated")
+    g_new = jax.grad(loss)(params, ups_impl="auto")
+    flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_new, _ = jax.tree_util.tree_flatten(g_new)
+    assert len(flat_ref) == len(flat_new)
+    for a, b in zip(flat_ref, flat_new):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
+        )
