@@ -57,19 +57,29 @@ def model_config_from_dict(config: dict):
 
 
 def optimizer_from_dict(config: dict):
-    """Build the optax chain from optimizer/scheduler/grad_norm blocks."""
+    """Build the optax chain from optimizer/scheduler/grad_norm blocks.
+
+    Resolves the same config surface as the reference's getattr registries
+    (`nntts/bin/train.py:190-203`): any of torch.optim's names
+    (`nntts/optimizers/__init__.py:1` re-exports them all) for
+    `optimizer_type`, any torch lr_scheduler name plus `WarmupLR`
+    (`nntts/schedulers/__init__.py:1-2`) for `scheduler_type`.
+    """
+    import optax
+
     from efficient_tts_tpu.train.optim import adam_warmup, radam
+    from efficient_tts_tpu.train.schedule import warmup_lr
+    from efficient_tts_tpu.train.torch_optim import (
+        OPTIMIZER_FACTORIES,
+        SCHEDULER_FACTORIES,
+    )
 
     opt_type = config.get("optimizer_type", "Adam")
     opt_params = dict(config.get("optimizer_params", {}))
+    sched_type = config.get("scheduler_type", "WarmupLR")
     sched_params = dict(config.get("scheduler_params", {}))
     grad_norm = config.get("grad_norm", 1.0)
-    warmup = (
-        sched_params.get("warmup_steps", 4000)
-        if config.get("scheduler_type", "WarmupLR") == "WarmupLR"
-        else None
-    )
-    if opt_type == "Adam":
+    if opt_type == "Adam" and sched_type in ("WarmupLR", None, "", "none"):
         return adam_warmup(
             lr=float(opt_params.get("lr", 1e-3)),
             betas=tuple(opt_params.get("betas", (0.9, 0.99))),
@@ -77,7 +87,11 @@ def optimizer_from_dict(config: dict):
             weight_decay=float(opt_params.get("weight_decay", 0.0)),
             amsgrad=bool(opt_params.get("amsgrad", False)),
             grad_clip_norm=grad_norm,
-            warmup_steps=warmup,
+            warmup_steps=(
+                sched_params.get("warmup_steps", 4000)
+                if sched_type == "WarmupLR"
+                else None
+            ),
         )
     if opt_type == "RAdam":
         return radam(
@@ -86,4 +100,25 @@ def optimizer_from_dict(config: dict):
             eps=float(opt_params.get("eps", 1e-8)),
             weight_decay=float(opt_params.get("weight_decay", 0.0)),
         )
-    raise ValueError(f"unknown optimizer_type: {opt_type}")
+    if opt_type not in OPTIMIZER_FACTORIES:
+        raise ValueError(f"unknown optimizer_type: {opt_type}")
+    if "betas" in opt_params:
+        opt_params["betas"] = tuple(opt_params["betas"])
+    base_lr = float(opt_params.pop("lr", 1e-3))
+    parts = []
+    if grad_norm:
+        parts.append(optax.clip_by_global_norm(float(grad_norm)))
+    if sched_type in (None, "", "none"):
+        parts.append(OPTIMIZER_FACTORIES[opt_type](lr=base_lr, **opt_params))
+    else:
+        if sched_type == "WarmupLR":
+            schedule = warmup_lr(base_lr, sched_params.get("warmup_steps", 4000))
+        elif sched_type in SCHEDULER_FACTORIES:
+            schedule = SCHEDULER_FACTORIES[sched_type](base_lr, **sched_params)
+        else:
+            raise ValueError(f"unknown scheduler_type: {sched_type}")
+        # torch's time-varying group lr multiplies the final step in every
+        # torch.optim rule, so lr=1 + scale_by_schedule is exact.
+        parts.append(OPTIMIZER_FACTORIES[opt_type](lr=1.0, **opt_params))
+        parts.append(optax.scale_by_schedule(schedule))
+    return optax.chain(*parts)
