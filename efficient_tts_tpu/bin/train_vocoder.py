@@ -24,6 +24,8 @@ def get_parser():
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--train_max_steps", type=int, default=400000)
     p.add_argument("--use_stft_loss", action="store_true")
+    p.add_argument("--compute_dtype", default=None, choices=["bfloat16"],
+                   help="bf16 conv towers (params/losses stay f32)")
     p.add_argument("--ema_decay", type=float, default=None,
                    help="track an EMA of generator weights for eval/serving")
     p.add_argument("--fine_tuning", action="store_true",
@@ -79,9 +81,12 @@ def main(argv=None):
     state = init_gan_state(
         jax.random.PRNGKey(0), voc_cfg, gen_tx, disc_tx, ema_decay=args.ema_decay
     )
+    import jax.numpy as jnp
+
     step = make_gan_train_step(
         voc_cfg, gen_tx, disc_tx, use_stft_loss=args.use_stft_loss,
         ema_decay=args.ema_decay,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else None,
     )
 
     from efficient_tts_tpu.parallel.mesh import fit_data_extent, make_mesh

@@ -16,7 +16,8 @@ def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss += jnp.mean(jnp.abs(rl - gl))
+            # reduce in f32 so bf16 compute_dtype towers keep exact sums
+            loss += jnp.mean(jnp.abs(rl.astype(jnp.float32) - gl.astype(jnp.float32)))
     return loss * 2.0
 
 
@@ -25,8 +26,8 @@ def discriminator_loss(disc_real_outputs, disc_generated_outputs):
     loss = 0.0
     r_losses, g_losses = [], []
     for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
-        r_loss = jnp.mean(jnp.square(1.0 - dr))
-        g_loss = jnp.mean(jnp.square(dg))
+        r_loss = jnp.mean(jnp.square(1.0 - dr.astype(jnp.float32)))
+        g_loss = jnp.mean(jnp.square(dg.astype(jnp.float32)))
         loss += r_loss + g_loss
         r_losses.append(r_loss)
         g_losses.append(g_loss)
@@ -38,7 +39,7 @@ def generator_loss(disc_outputs):
     loss = 0.0
     gen_losses = []
     for dg in disc_outputs:
-        l = jnp.mean(jnp.square(1.0 - dg))
+        l = jnp.mean(jnp.square(1.0 - dg.astype(jnp.float32)))
         gen_losses.append(l)
         loss += l
     return loss, gen_losses

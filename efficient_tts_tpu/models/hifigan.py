@@ -433,9 +433,12 @@ def _packed_conv_post(kern: dict, x_packed: jnp.ndarray, r_in: int, c: int):
         window_strides=(stride,),
         padding=[(lo, hi)],
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
+        # MXU accumulates f32 internally either way; an f32
+        # preferred_element_type would break the conv transpose (autodiff)
+        # rule for bf16 operands in bf16 GAN training (cf. nn/layers.conv1d)
+        preferred_element_type=x_packed.dtype,
     )
-    return y + kern["b"][0]
+    return y + kern["b"][0].astype(x_packed.dtype)
 
 # Fused-Pallas-stage tile sizes (rows of 128-lane packed blocks per VMEM
 # tile), measured per stage channel count on a v5e (scripts/
@@ -506,8 +509,10 @@ def _packed_conv1d(kern: dict, x_packed: jnp.ndarray, k: int, dilation: int, r: 
         (1,),
         [(-blo, bhi)],
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x_packed.dtype)
+        # see _packed_conv_post: compute-dtype preference keeps the conv
+        # differentiable under bf16 (f32 MXU accumulation is internal)
+        preferred_element_type=x_packed.dtype,
+    )
     bias = jnp.tile(kern["b"], r).astype(x_packed.dtype)
     return y + bias
 
@@ -594,7 +599,12 @@ def init_period_discriminator(key, period: int, kernel_size: int = 5, stride: in
 
 
 def period_discriminator(
-    params: dict, x: jnp.ndarray, period: int, kernel_size: int = 5, stride: int = 3
+    params: dict,
+    x: jnp.ndarray,
+    period: int,
+    kernel_size: int = 5,
+    stride: int = 3,
+    compute_dtype=None,
 ):
     """`DiscriminatorP` (`hifigan_model.py:148-181`). x: [B, T] waveform.
 
@@ -607,6 +617,8 @@ def period_discriminator(
         x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
         t = t + n_pad
     h = x.reshape(b, t // period, period, 1)
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
     fmap = []
     for i, c in enumerate(params["convs"]):
         s = (stride, 1) if i < 4 else (1, 1)
@@ -721,12 +733,16 @@ _SCALE_SPECS = [
 ]
 
 
-def scale_discriminator(params: dict, x: jnp.ndarray):
+def scale_discriminator(params: dict, x: jnp.ndarray, compute_dtype=None):
     """`DiscriminatorS` (`hifigan_model.py:211-236`). x: [B, T] waveform.
 
     Kernels resolve through weight norm or spectral norm depending on the
-    param structure (the first MSD discriminator is spectral-normed)."""
+    param structure (the first MSD discriminator is spectral-normed).
+    `compute_dtype=jnp.bfloat16` runs the conv tower on the MXU in bf16
+    (params/losses stay f32; the GAN losses reduce in f32)."""
     h = x[:, :, None]  # [B, T, 1]
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
     fmap = []
     for c, (ic, oc, k, s, g, p) in zip(params["convs"], _SCALE_SPECS):
         h = conv1d(_resolve_kernel(c), h, stride=s, padding=p, groups=g)
@@ -793,11 +809,32 @@ def init_mpd(key) -> dict:
     }
 
 
-def mpd_forward(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray):
+def mpd_forward(
+    params: dict,
+    y: jnp.ndarray,
+    y_hat: jnp.ndarray,
+    compute_dtype=None,
+    fused: bool = False,
+):
+    """`fused=True` runs each period discriminator ONCE on the [2B]
+    real/fake concat — numerically identical (all ops batch-parallel),
+    half the op count. Right for the D step, where weight gradients are
+    needed for both halves anyway; the G step keeps separate forwards so
+    the real branch (constant w.r.t. generator params) costs no backward."""
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    if fused:
+        b = y.shape[0]
+        both = jnp.concatenate([y, y_hat], axis=0)
+        for d, p in zip(params["discriminators"], MPD_PERIODS):
+            o, fm = period_discriminator(d, both, p, compute_dtype=compute_dtype)
+            y_d_rs.append(o[:b])
+            y_d_gs.append(o[b:])
+            fmap_rs.append([f[:b] for f in fm])
+            fmap_gs.append([f[b:] for f in fm])
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
     for d, p in zip(params["discriminators"], MPD_PERIODS):
-        r, fr = period_discriminator(d, y, p)
-        g, fg = period_discriminator(d, y_hat, p)
+        r, fr = period_discriminator(d, y, p, compute_dtype=compute_dtype)
+        g, fg = period_discriminator(d, y_hat, p, compute_dtype=compute_dtype)
         y_d_rs.append(r)
         y_d_gs.append(g)
         fmap_rs.append(fr)
@@ -819,14 +856,33 @@ def init_msd(key) -> dict:
     }
 
 
-def msd_forward(params: dict, y: jnp.ndarray, y_hat: jnp.ndarray):
+def msd_forward(
+    params: dict,
+    y: jnp.ndarray,
+    y_hat: jnp.ndarray,
+    compute_dtype=None,
+    fused: bool = False,
+):
+    """See `mpd_forward` for `fused` semantics (exact [2B] concat)."""
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+    if fused:
+        b = y.shape[0]
+        both = jnp.concatenate([y, y_hat], axis=0)
+        for i, d in enumerate(params["discriminators"]):
+            if i != 0:
+                both = avg_pool1d(both[:, :, None], 4, 2, 2)[:, :, 0]
+            o, fm = scale_discriminator(d, both, compute_dtype=compute_dtype)
+            y_d_rs.append(o[:b])
+            y_d_gs.append(o[b:])
+            fmap_rs.append([f[:b] for f in fm])
+            fmap_gs.append([f[b:] for f in fm])
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
     for i, d in enumerate(params["discriminators"]):
         if i != 0:
             y = avg_pool1d(y[:, :, None], 4, 2, 2)[:, :, 0]
             y_hat = avg_pool1d(y_hat[:, :, None], 4, 2, 2)[:, :, 0]
-        r, fr = scale_discriminator(d, y)
-        g, fg = scale_discriminator(d, y_hat)
+        r, fr = scale_discriminator(d, y, compute_dtype=compute_dtype)
+        g, fg = scale_discriminator(d, y_hat, compute_dtype=compute_dtype)
         y_d_rs.append(r)
         y_d_gs.append(g)
         fmap_rs.append(fr)

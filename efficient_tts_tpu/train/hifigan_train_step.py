@@ -70,28 +70,42 @@ def make_gan_train_step(
     use_stft_loss: bool = False,
     stft_loss_weight: float = 1.0,
     ema_decay: float | None = None,
+    compute_dtype=None,
 ):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: {"mel": [B, F, n_mels] (generator input),
             "audio": [B, S] ground-truth segment,
             "mel_loss": [B, F, n_mels] mel-loss target (fmax_loss DSP)}.
+
+    `compute_dtype=jnp.bfloat16` runs generator + discriminator conv
+    towers in bf16 (params, optimizer states, loss reductions, and the
+    mel DSP stay f32). The D step fuses real/fake into one [2B]
+    discriminator pass (exact; see `hg.mpd_forward`).
     """
 
     def d_loss_fn(d_params, y, y_hat):
-        mpd_r, mpd_g, _, _ = hg.mpd_forward(d_params["mpd"], y, y_hat)
+        mpd_r, mpd_g, _, _ = hg.mpd_forward(
+            d_params["mpd"], y, y_hat, compute_dtype=compute_dtype, fused=True
+        )
         loss_mpd, _, _ = discriminator_loss(mpd_r, mpd_g)
-        msd_r, msd_g, _, _ = hg.msd_forward(d_params["msd"], y, y_hat)
+        msd_r, msd_g, _, _ = hg.msd_forward(
+            d_params["msd"], y, y_hat, compute_dtype=compute_dtype, fused=True
+        )
         loss_msd, _, _ = discriminator_loss(msd_r, msd_g)
         return loss_mpd + loss_msd, (loss_mpd, loss_msd)
 
     def g_loss_fn(g_params, d_params, mel_in, y, mel_target):
-        y_hat = hg.generator(g_params, mel_in, voc_cfg)
+        y_hat = hg.generator(g_params, mel_in, voc_cfg, compute_dtype=compute_dtype)
         mel_hat = jnp.swapaxes(mel_spectrogram(y_hat, mel_cfg), 1, 2)
         loss_mel = jnp.mean(jnp.abs(mel_hat - mel_target)) * mel_loss_weight
 
-        mpd_r, mpd_g, fmap_r_p, fmap_g_p = hg.mpd_forward(d_params["mpd"], y, y_hat)
-        msd_r, msd_g, fmap_r_s, fmap_g_s = hg.msd_forward(d_params["msd"], y, y_hat)
+        mpd_r, mpd_g, fmap_r_p, fmap_g_p = hg.mpd_forward(
+            d_params["mpd"], y, y_hat, compute_dtype=compute_dtype
+        )
+        msd_r, msd_g, fmap_r_s, fmap_g_s = hg.msd_forward(
+            d_params["msd"], y, y_hat, compute_dtype=compute_dtype
+        )
         loss_fm = feature_loss(fmap_r_p, fmap_g_p) + feature_loss(fmap_r_s, fmap_g_s)
         adv_p, _ = generator_loss(mpd_g)
         adv_s, _ = generator_loss(msd_g)
@@ -122,7 +136,9 @@ def make_gan_train_step(
 
         # --- discriminator update (fake detached) ---
         y_hat = jax.lax.stop_gradient(
-            hg.generator(state["gen"]["params"], mel_in, voc_cfg)
+            hg.generator(
+                state["gen"]["params"], mel_in, voc_cfg, compute_dtype=compute_dtype
+            )
         )
         (d_loss, (l_mpd, l_msd)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True

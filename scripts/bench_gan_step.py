@@ -1,7 +1,8 @@
 """GAN vocoder train-step timing on TPU at the reference config's shape
-(segment 8192 samples = 32 mel frames, batch 16, f32).
+(segment 8192 samples = 32 mel frames, batch 16).
 
-Run on TPU:  python scripts/bench_gan_step.py
+Run on TPU:  python scripts/bench_gan_step.py [f32|bf16] ...
+(no args = bench all modes)
 """
 
 from __future__ import annotations
@@ -41,13 +42,16 @@ def time_fn(run, tail, k_small=2, k_large=10, reps=3):
     return sorted(estimates)[len(estimates) // 2]
 
 
-def main():
+def bench_mode(name, compute_dtype):
     B, SEG = 16, 8192
     F = SEG // 256
     cfg = HiFiGANConfig()
     tx = optax.adam(2e-4, b1=0.8, b2=0.99)
     state = init_gan_state(jax.random.PRNGKey(0), cfg, tx, tx)
-    step = jax.jit(make_gan_train_step(cfg, tx, tx), donate_argnums=0)
+    step = jax.jit(
+        make_gan_train_step(cfg, tx, tx, compute_dtype=compute_dtype),
+        donate_argnums=0,
+    )
     rng = np.random.RandomState(0)
     batch = {
         "mel": jnp.asarray(rng.randn(B, F, cfg.num_mels), jnp.float32),
@@ -68,7 +72,16 @@ def main():
 
     t = time_fn(run, lambda m: m["g_loss"])
     utts = B / t
-    print(f"GAN train step B={B} seg={SEG}: {t*1e3:.1f} ms ({utts:.0f} segments/s/chip)")
+    print(
+        f"GAN train step [{name}] B={B} seg={SEG}: {t*1e3:.1f} ms "
+        f"({utts:.0f} segments/s/chip)"
+    )
+
+
+def main():
+    modes = sys.argv[1:] or ["f32", "bf16"]
+    for m in modes:
+        bench_mode(m, jnp.bfloat16 if m == "bf16" else None)
 
 
 if __name__ == "__main__":

@@ -210,3 +210,74 @@ def test_ema_resume_reconciliation(tmp_path):
         jax.tree_util.tree_leaves(t2.state["gen"]["params"]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_discriminator_forward_matches_pairwise():
+    """fused=True [2B]-concat forward is numerically identical (f32)."""
+    from efficient_tts_tpu.models import hifigan as hg
+
+    key = jax.random.PRNGKey(3)
+    mpd = hg.init_mpd(key)
+    msd = hg.init_msd(jax.random.PRNGKey(4))
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
+
+    def close(a, b):
+        # XLA may pick different conv algorithms at batch 2B vs B; allow
+        # reassociation-level noise relative to the tensor's scale
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * scale)
+
+    for fwd, params in ((hg.mpd_forward, mpd), (hg.msd_forward, msd)):
+        r0, g0, fr0, fg0 = fwd(params, y, y_hat)
+        r1, g1, fr1, fg1 = fwd(params, y, y_hat, fused=True)
+        for a, b in zip(r0 + g0, r1 + g1):
+            close(a, b)
+        for da, db in zip(fr0 + fg0, fr1 + fg1):
+            for a, b in zip(da, db):
+                close(a, b)
+
+
+def test_fused_d_gradients_match_pairwise():
+    """D-step gradients are unchanged by the fused real/fake concat."""
+    from efficient_tts_tpu.losses.gan import discriminator_loss
+    from efficient_tts_tpu.models import hifigan as hg
+
+    mpd = hg.init_mpd(jax.random.PRNGKey(5))
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.standard_normal((2, 1024)), jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((2, 1024)), jnp.float32)
+
+    def loss(params, fused):
+        r, g, _, _ = hg.mpd_forward(params, y, y_hat, fused=fused)
+        return discriminator_loss(r, g)[0]
+
+    g_pair = jax.grad(lambda p: loss(p, False))(mpd)
+    g_fused = jax.grad(lambda p: loss(p, True))(mpd)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pair), jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_gan_step_bf16_compute():
+    """bf16 compute towers: finite metrics, close to the f32 step's losses."""
+    gen_tx = hifigan_adam(lr=2e-4)
+    disc_tx = hifigan_adam(lr=2e-4)
+    batch = _batch()
+
+    state32 = init_gan_state(jax.random.PRNGKey(0), VOC_CFG, gen_tx, disc_tx)
+    step32 = make_gan_train_step(VOC_CFG, gen_tx, disc_tx)
+    _, m32 = step32(state32, batch)
+
+    state16 = init_gan_state(jax.random.PRNGKey(0), VOC_CFG, gen_tx, disc_tx)
+    step16 = make_gan_train_step(VOC_CFG, gen_tx, disc_tx, compute_dtype=jnp.bfloat16)
+    state16, m16 = step16(state16, batch)
+
+    for k in ("d_loss", "g_loss", "mel_l1"):
+        a, b = float(m32[k]), float(m16[k])
+        assert np.isfinite(b), k
+        assert abs(a - b) / max(abs(a), 1e-6) < 0.15, (k, a, b)
+    # params stay f32
+    for leaf in jax.tree_util.tree_leaves(state16["gen"]["params"]):
+        assert leaf.dtype == jnp.float32
