@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--eval_every", type=int, default=200)
     ap.add_argument("--out", default="vocoder_convergence.json")
+    ap.add_argument("--compute_dtype", default=None, choices=["bfloat16"],
+                    help="bf16 conv towers (validates mixed-precision GAN training)")
     args = ap.parse_args()
 
     voc_cfg = HiFiGANConfig()
@@ -88,7 +90,9 @@ def main():
     state = init_gan_state(
         jax.random.PRNGKey(0), voc_cfg, gen_tx, disc_tx, ema_decay=0.999
     )
-    step = make_gan_train_step(voc_cfg, gen_tx, disc_tx, ema_decay=0.999)
+    cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+    step = make_gan_train_step(voc_cfg, gen_tx, disc_tx, ema_decay=0.999,
+                               compute_dtype=cdt)
     eval_step = make_gan_eval_step(voc_cfg, mel_cfg)
 
     history = []
