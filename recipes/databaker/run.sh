@@ -12,18 +12,19 @@ expdir=exp/databaker_efts_cnn
 lj_vocoder=../lj/exp/lj_hifigan       # shared LJ vocoder
 config=../../efficient_tts_tpu/configs/databaker_efts_cnn.yaml
 
+. ../cmd.sh
 . ../parse_options.sh
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
     echo "=== stage 0: data preparation (pinyin -> phone tokens) ==="
     mkdir -p ${datadir}
-    python -m efficient_tts_tpu.bin.prepare_databaker \
+    ${cmd} python -m efficient_tts_tpu.bin.prepare_databaker \
         --db_root ${db_root} --outdir ${datadir}
 fi
 
 if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
     echo "=== stage 1: EFTS-CNN training ==="
-    python -m efficient_tts_tpu.bin.train \
+    ${cmd} python -m efficient_tts_tpu.bin.train \
         --config ${config} \
         --train_fid_scp ${datadir}/train.txt \
         --dev_fid_scp ${datadir}/dev.txt \
@@ -33,7 +34,7 @@ fi
 if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
     echo "=== stage 2: synthesis with the shared LJ vocoder ==="
     last_ckpt=$(ls -d ${expdir}/checkpoint-*steps | sort -t- -k2 -n | tail -1)
-    python -m efficient_tts_tpu.bin.inference \
+    ${cmd} python -m efficient_tts_tpu.bin.inference \
         --test_fid_scp ${datadir}/test.txt \
         --checkpoint ${last_ckpt} \
         --outdir ${expdir}/generated

@@ -18,6 +18,7 @@ vocdir=exp/lj_hifigan
 # (reference recipe mode, egs/lj/data/nv_taco2_filelists)
 config=../../efficient_tts_tpu/configs/lj_efts_cnn_char.yaml
 
+. ../cmd.sh
 . ../parse_options.sh
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
@@ -26,14 +27,14 @@ if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
     # metadata.csv (id|raw|normalized) -> filelist (wav|normalized text)
     awk -F'|' -v root="${db_root}" '{print root"/wavs/"$1".wav|"$3}' \
         ${db_root}/metadata.csv > ${datadir}/all.txt
-    python -m efficient_tts_tpu.bin.prepare_data \
+    ${cmd} python -m efficient_tts_tpu.bin.prepare_data \
         --filelist ${datadir}/all.txt --outdir ${datadir} \
         --wav_path ${db_root}/wavs --dev 100 --test 500
 fi
 
 if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
     echo "=== stage 1: EFTS-CNN training ==="
-    python -m efficient_tts_tpu.bin.train \
+    ${cmd} python -m efficient_tts_tpu.bin.train \
         --config ${config} \
         --train_fid_scp ${datadir}/train.txt \
         --dev_fid_scp ${datadir}/dev.txt \
@@ -43,7 +44,7 @@ fi
 if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
     echo "=== stage 2: HiFi-GAN vocoder training ==="
     cut -d'|' -f1 ${datadir}/train.txt > ${datadir}/train_wavs.txt
-    python -m efficient_tts_tpu.bin.train_vocoder \
+    ${cmd} python -m efficient_tts_tpu.bin.train_vocoder \
         --wav_scp ${datadir}/train_wavs.txt \
         --outdir ${vocdir}
 fi
@@ -51,7 +52,7 @@ fi
 if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
     echo "=== stage 3: synthesis ==="
     last_ckpt=$(ls -d ${expdir}/checkpoint-*steps | sort -t- -k2 -n | tail -1)
-    python -m efficient_tts_tpu.bin.inference \
+    ${cmd} python -m efficient_tts_tpu.bin.inference \
         --test_fid_scp ${datadir}/test.txt \
         --checkpoint ${last_ckpt} \
         --outdir ${expdir}/generated

@@ -13,6 +13,7 @@ voc_checkpoint=""        # optional trained vocoder checkpoint
 test_fid_scp=""          # empty -> ${datadir}/test.txt
 num_utts=10              # the reference decodes the first 10 test utts
 
+. ../cmd.sh
 . ../parse_options.sh
 
 [ -z "${test_fid_scp}" ] && test_fid_scp=${datadir}/test.txt
@@ -28,7 +29,7 @@ elif ls -d ${vocdir}/checkpoint-*steps >/dev/null 2>&1; then
     voc_args=(--vocoder_checkpoint "$(ls -d ${vocdir}/checkpoint-*steps | sort -t- -k2 -n | tail -1)")
 fi
 
-python -m efficient_tts_tpu.bin.inference \
+${cmd} python -m efficient_tts_tpu.bin.inference \
     --test_fid_scp "${test_fid_scp}" \
     --checkpoint "${checkpoint}" \
     --outdir "${outdir}" \
