@@ -55,3 +55,48 @@ def efts_cnn_to_state_dict(params: dict, cfg) -> dict:
         sd[f"duration_predictor.conv.{i}.2.bias"] = np.asarray(norm_p["bias"])
     _linear(sd, "duration_predictor.linear", dp["out"])
     return sd
+
+
+def _convT_w(w: np.ndarray) -> np.ndarray:
+    """WIO [k, in, out] -> torch ConvTranspose1d [in, out, k]."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (1, 2, 0)))
+
+
+def hifigan_generator_to_state_dict(params: dict, cfg) -> dict:
+    """Inverse of `torch_import.hifigan_generator_from_state_dict`: export
+    a generator trained here (the reference ships no vocoder trainer) to
+    the official HiFi-GAN `generator_v1` state_dict layout
+    (`/root/reference/nntts/vocoders/hifigan_model.py:95-145`), weight-
+    normed ('.weight_v/.weight_g') or folded ('.weight') per the pytree.
+    Wrap values with `torch.from_numpy` and save as {"generator": sd} for
+    `load_hifigan_generator` (`hifigan_model.py:18-28`)."""
+    sd: dict = {}
+
+    def put(prefix, p, transposed=False):
+        conv_fn = _convT_w if transposed else _conv_w
+        if "v" in p:
+            g = np.asarray(p["g"])
+            # torch weight_norm(dim=0): [out,1,1] for Conv1d, [in,1,1]
+            # for ConvTranspose1d — both are g flattened to axis 0
+            sd[prefix + ".weight_v"] = conv_fn(p["v"])
+            sd[prefix + ".weight_g"] = g.reshape(-1, 1, 1)
+            sd[prefix + ".bias"] = np.asarray(p["b"])
+        else:
+            sd[prefix + ".weight"] = conv_fn(p["w"])
+            sd[prefix + ".bias"] = np.asarray(p["b"])
+
+    put("conv_pre", params["conv_pre"])
+    for i, p in enumerate(params["ups"]):
+        put(f"ups.{i}", p, transposed=True)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    for i, block in enumerate(params["resblocks"]):
+        if cfg.resblock == "1":
+            for j, p in enumerate(block["convs1"]):
+                put(f"resblocks.{i}.convs1.{j}", p)
+            for j, p in enumerate(block["convs2"]):
+                put(f"resblocks.{i}.convs2.{j}", p)
+        else:
+            for j, p in enumerate(block["convs"]):
+                put(f"resblocks.{i}.convs.{j}", p)
+    put("conv_post", params["conv_post"])
+    return sd

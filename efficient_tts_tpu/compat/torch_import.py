@@ -129,13 +129,14 @@ def hifigan_generator_from_state_dict(sd: dict, cfg) -> dict:
         "conv_post": conv("conv_post"),
     }
     for i in range(n_ups * n_kernels):
+        n_dil = len(cfg.resblock_dilation_sizes[i % n_kernels])
         if cfg.resblock == "1":
             block = {
-                "convs1": [conv(f"resblocks.{i}.convs1.{j}") for j in range(3)],
-                "convs2": [conv(f"resblocks.{i}.convs2.{j}") for j in range(3)],
+                "convs1": [conv(f"resblocks.{i}.convs1.{j}") for j in range(n_dil)],
+                "convs2": [conv(f"resblocks.{i}.convs2.{j}") for j in range(n_dil)],
             }
         else:
-            block = {"convs": [conv(f"resblocks.{i}.convs.{j}") for j in range(2)]}
+            block = {"convs": [conv(f"resblocks.{i}.convs.{j}") for j in range(n_dil)]}
         params["resblocks"].append(block)
     return params
 
