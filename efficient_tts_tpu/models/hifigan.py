@@ -733,19 +733,89 @@ _SCALE_SPECS = [
 ]
 
 
-def scale_discriminator(params: dict, x: jnp.ndarray, compute_dtype=None):
+def _grouped_conv1d(kernel, x, stride, padding, groups, impl="fgc"):
+    """Grouped conv with a selectable XLA lowering (all numerically the
+    same op; f32-exact across impls, exercised by
+    `test_hifigan_strategies.py`):
+
+    - "fgc":   `feature_group_count` (the direct lowering)
+    - "bgc":   group-to-batch via `batch_group_count` — groups move to the
+               lhs batch dim; group j of output features is computed from
+               lhs batch group j, which is exactly grouped-conv semantics
+               for the group-blocked [k, C/g, Cout] weight layout
+    - "dense": block-diagonal densified weight, feature_group_count=1 —
+               g× the FLOPs but full-K MXU tiles; wins for the grouped
+               kernel-gradient (D update) at small per-group channels
+
+    Selected per-call-site because the optimal lowering differs between
+    the D update (needs weight gradients) and the G update (input
+    gradients only) — measured in `scripts/bench_gan_step.py`.
+    """
+    w, b = kernel["w"], kernel["b"]
+    if groups == 1 or impl == "fgc":
+        return conv1d(kernel, x, stride=stride, padding=padding, groups=groups)
+    pad = [(padding, padding)]
+    if impl == "bgc":
+        bsz, t, c = x.shape
+        cg = c // groups
+        xg = (
+            x.reshape(bsz, t, groups, cg)
+            .transpose(2, 0, 1, 3)
+            .reshape(groups * bsz, t, cg)
+        )
+        y = jax.lax.conv_general_dilated(
+            xg,
+            w.astype(x.dtype),
+            window_strides=(stride,),
+            padding=pad,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            batch_group_count=groups,
+            preferred_element_type=x.dtype,
+        )
+        return y + b.astype(x.dtype)
+    if impl == "dense":
+        k, cg, cout = w.shape
+        og = cout // groups
+        wd = jnp.zeros((k, cg * groups, cout), w.dtype)
+        for i in range(groups):
+            wd = wd.at[:, i * cg : (i + 1) * cg, i * og : (i + 1) * og].set(
+                w[:, :, i * og : (i + 1) * og]
+            )
+        y = jax.lax.conv_general_dilated(
+            x,
+            wd.astype(x.dtype),
+            window_strides=(stride,),
+            padding=pad,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=x.dtype,
+        )
+        return y + b.astype(x.dtype)
+    raise ValueError(f"unknown grouped conv impl {impl!r}")
+
+
+def scale_discriminator(
+    params: dict, x: jnp.ndarray, compute_dtype=None, grouped_impl=None
+):
     """`DiscriminatorS` (`hifigan_model.py:211-236`). x: [B, T] waveform.
 
     Kernels resolve through weight norm or spectral norm depending on the
     param structure (the first MSD discriminator is spectral-normed).
     `compute_dtype=jnp.bfloat16` runs the conv tower on the MXU in bf16
-    (params/losses stay f32; the GAN losses reduce in f32)."""
+    (params/losses stay f32; the GAN losses reduce in f32).
+    `grouped_impl`: None/str/callable(layer_idx, spec)->str selecting the
+    grouped-conv lowering per layer (see `_grouped_conv1d`)."""
     h = x[:, :, None]  # [B, T, 1]
     if compute_dtype is not None:
         h = h.astype(compute_dtype)
     fmap = []
-    for c, (ic, oc, k, s, g, p) in zip(params["convs"], _SCALE_SPECS):
-        h = conv1d(_resolve_kernel(c), h, stride=s, padding=p, groups=g)
+    for i, (c, spec) in enumerate(zip(params["convs"], _SCALE_SPECS)):
+        ic, oc, k, s, g, p = spec
+        impl = (
+            "fgc"
+            if grouped_impl is None
+            else (grouped_impl if isinstance(grouped_impl, str) else grouped_impl(i, spec))
+        )
+        h = _grouped_conv1d(_resolve_kernel(c), h, s, p, g, impl=impl)
         h = leaky_relu(h, LRELU_SLOPE)
         fmap.append(h)
     h = conv1d(_resolve_kernel(params["conv_post"]), h, padding=1)
@@ -862,8 +932,10 @@ def msd_forward(
     y_hat: jnp.ndarray,
     compute_dtype=None,
     fused: bool = False,
+    grouped_impl=None,
 ):
-    """See `mpd_forward` for `fused` semantics (exact [2B] concat)."""
+    """See `mpd_forward` for `fused` semantics (exact [2B] concat).
+    `grouped_impl` selects the grouped-conv lowering (`_grouped_conv1d`)."""
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
     if fused:
         b = y.shape[0]
@@ -871,7 +943,9 @@ def msd_forward(
         for i, d in enumerate(params["discriminators"]):
             if i != 0:
                 both = avg_pool1d(both[:, :, None], 4, 2, 2)[:, :, 0]
-            o, fm = scale_discriminator(d, both, compute_dtype=compute_dtype)
+            o, fm = scale_discriminator(
+                d, both, compute_dtype=compute_dtype, grouped_impl=grouped_impl
+            )
             y_d_rs.append(o[:b])
             y_d_gs.append(o[b:])
             fmap_rs.append([f[:b] for f in fm])
@@ -881,8 +955,12 @@ def msd_forward(
         if i != 0:
             y = avg_pool1d(y[:, :, None], 4, 2, 2)[:, :, 0]
             y_hat = avg_pool1d(y_hat[:, :, None], 4, 2, 2)[:, :, 0]
-        r, fr = scale_discriminator(d, y, compute_dtype=compute_dtype)
-        g, fg = scale_discriminator(d, y_hat, compute_dtype=compute_dtype)
+        r, fr = scale_discriminator(
+            d, y, compute_dtype=compute_dtype, grouped_impl=grouped_impl
+        )
+        g, fg = scale_discriminator(
+            d, y_hat, compute_dtype=compute_dtype, grouped_impl=grouped_impl
+        )
         y_d_rs.append(r)
         y_d_gs.append(g)
         fmap_rs.append(fr)

@@ -28,6 +28,7 @@ from efficient_tts_tpu.train.efts_train_step import (
     shard_state,
 )
 from efficient_tts_tpu.train.state import create_state
+from efficient_tts_tpu.utils.preemption import convert_sigterm
 
 log = logging.getLogger(__name__)
 
@@ -89,7 +90,15 @@ class EftsTrainer:
     # -- loop -------------------------------------------------------------
 
     def run(self):
-        """Train until `train_max_steps` (reference :62-76,279-281)."""
+        """Train until `train_max_steps` (reference :62-76,279-281).
+
+        Ctrl-C and SIGTERM (TPU-VM preemption / scheduler eviction) both
+        checkpoint before exiting (`utils/preemption.py`; the reference
+        handles only Ctrl-C, train.py:250-253)."""
+        with convert_sigterm():
+            return self._run()
+
+    def _run(self):
         assert self.state is not None, "call init_state first"
         totals = defaultdict(float)
         count = 0

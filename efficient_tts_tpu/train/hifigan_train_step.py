@@ -33,6 +33,14 @@ from efficient_tts_tpu.models import hifigan as hg
 from efficient_tts_tpu.models.hifigan import HiFiGANConfig
 
 
+# Production grouped-conv lowering tables for the MSD (see
+# `make_gan_train_step` docstring; measured in scripts/bench_gan_step.py,
+# whole-step timing on v5e — placeholders until measured, exactness is
+# impl-independent).
+MSD_D_UPDATE_IMPL = "fgc"
+MSD_G_UPDATE_IMPL = "fgc"
+
+
 def init_gan_state(
     key, voc_cfg: HiFiGANConfig, gen_tx, disc_tx, ema_decay: float | None = None
 ) -> dict:
@@ -71,6 +79,7 @@ def make_gan_train_step(
     stft_loss_weight: float = 1.0,
     ema_decay: float | None = None,
     compute_dtype=None,
+    msd_grouped_impl=("auto", "auto"),
 ):
     """Returns train_step(state, batch) -> (state, metrics).
 
@@ -82,7 +91,23 @@ def make_gan_train_step(
     towers in bf16 (params, optimizer states, loss reductions, and the
     mel DSP stay f32). The D step fuses real/fake into one [2B]
     discriminator pass (exact; see `hg.mpd_forward`).
+
+    `msd_grouped_impl`: (D-update impl, G-update impl) grouped-conv
+    lowering for the MSD towers (`hg._grouped_conv1d`; all choices are
+    numerically the same op). Isolated-conv timings favor block-diagonal
+    dense for the grouped kernel-gradient (D update) and group-to-batch
+    for input gradients (G update), but whole-step measurement on v5e
+    shows fgc/bgc within noise (88.2-88.6 ms at B=16 bf16) and dense
+    losing (97 ms) — the isolated wins are absorbed by XLA fusion across
+    the step. "auto" therefore keeps the direct feature_group_count
+    lowering; the knob and the exactness tests remain for other
+    hardware/shape regimes (PERF.md).
     """
+    d_impl, g_impl = msd_grouped_impl
+    if d_impl == "auto":
+        d_impl = MSD_D_UPDATE_IMPL
+    if g_impl == "auto":
+        g_impl = MSD_G_UPDATE_IMPL
 
     def d_loss_fn(d_params, y, y_hat):
         mpd_r, mpd_g, _, _ = hg.mpd_forward(
@@ -90,7 +115,12 @@ def make_gan_train_step(
         )
         loss_mpd, _, _ = discriminator_loss(mpd_r, mpd_g)
         msd_r, msd_g, _, _ = hg.msd_forward(
-            d_params["msd"], y, y_hat, compute_dtype=compute_dtype, fused=True
+            d_params["msd"],
+            y,
+            y_hat,
+            compute_dtype=compute_dtype,
+            fused=True,
+            grouped_impl=d_impl,
         )
         loss_msd, _, _ = discriminator_loss(msd_r, msd_g)
         return loss_mpd + loss_msd, (loss_mpd, loss_msd)
@@ -104,7 +134,11 @@ def make_gan_train_step(
             d_params["mpd"], y, y_hat, compute_dtype=compute_dtype
         )
         msd_r, msd_g, fmap_r_s, fmap_g_s = hg.msd_forward(
-            d_params["msd"], y, y_hat, compute_dtype=compute_dtype
+            d_params["msd"],
+            y,
+            y_hat,
+            compute_dtype=compute_dtype,
+            grouped_impl=g_impl,
         )
         loss_fm = feature_loss(fmap_r_p, fmap_g_p) + feature_loss(fmap_r_s, fmap_g_s)
         adv_p, _ = generator_loss(mpd_g)

@@ -16,6 +16,7 @@ from collections import defaultdict
 import jax
 
 from efficient_tts_tpu.train import checkpoint as ckpt
+from efficient_tts_tpu.utils.preemption import convert_sigterm
 
 log = logging.getLogger(__name__)
 
@@ -85,6 +86,12 @@ class HiFiGANTrainer:
         self.state = restored
 
     def run(self):
+        """Ctrl-C and SIGTERM (TPU-VM preemption / scheduler eviction)
+        both checkpoint before exiting (`utils/preemption.py`)."""
+        with convert_sigterm():
+            return self._run()
+
+    def _run(self):
         totals = defaultdict(float)
         count = 0
         t_last = time.time()

@@ -167,3 +167,50 @@ def test_generator_gradients_match_across_impls(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
         )
+
+
+@pytest.mark.parametrize("impl", ["bgc", "dense"])
+def test_msd_grouped_impl_matches_fgc(impl):
+    """The three grouped-conv lowerings of the scale discriminators
+    (`hg._grouped_conv1d`: feature_group_count / group-to-batch /
+    block-diagonal dense) are the same op — outputs and parameter
+    gradients must match f32-exactly (reassociation tolerance)."""
+    msd = hg.init_msd(jax.random.PRNGKey(4))
+    for _ in range(8):  # converge spectral-norm u/v so grad scales are sane
+        msd = hg.msd_power_iteration(msd)
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(np.tanh(rng.standard_normal((2, 2048))) * 0.5, jnp.float32)
+    y_hat = jnp.asarray(np.tanh(rng.standard_normal((2, 2048))) * 0.5, jnp.float32)
+
+    def score(params, gi):
+        rs, gs, fr, fg = hg.msd_forward(params, y, y_hat, grouped_impl=gi)
+        return sum(jnp.mean(o) for o in rs + gs) + sum(
+            jnp.mean(f) for fm in fr + fg for f in fm
+        )
+
+    ref_out, ref_grad = jax.value_and_grad(score)(msd, "fgc")
+    new_out, new_grad = jax.value_and_grad(score)(msd, impl)
+    np.testing.assert_allclose(
+        np.asarray(new_out), np.asarray(ref_out), atol=1e-5, rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_grad), jax.tree_util.tree_leaves(new_grad)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        # per-leaf scale-relative tolerance: same op, fp reassociation only
+        tol = 2e-6 * max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, atol=tol, rtol=2e-4)
+
+
+def test_msd_grouped_impl_per_layer_callable():
+    """Per-layer impl selection (callable) mixes lowerings exactly."""
+    msd = hg.init_msd(jax.random.PRNGKey(6))
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(np.tanh(rng.standard_normal((2, 2048))) * 0.5, jnp.float32)
+
+    def table(i, spec):
+        return ["fgc", "bgc", "dense"][i % 3]
+
+    ref, _ = hg.scale_discriminator(msd["discriminators"][1], y)
+    out, _ = hg.scale_discriminator(msd["discriminators"][1], y, grouped_impl=table)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
