@@ -206,3 +206,116 @@ def stream_vocoder(
         yield np.asarray(
             jax.device_get(wav[0, keep_lo * hop : (keep_lo + hi - lo) * hop])
         )
+
+
+# ---------------------------------------------------------------------------
+# multi-chip synthesis: dp / tp / sp over a ('data', 'model') mesh
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_synth_fn(mesh, mode, efts_cfg, voc_cfg, t2, compute_dtype):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from efficient_tts_tpu.parallel.mesh import MODEL_AXIS
+
+    seq_par = "sp" in mode
+    # tp/sp shard channels or time across chips; the packed space-to-depth
+    # fast paths fold positions into channels, which would fight those
+    # shardings, so they use the plain lowering (single-chip serving keeps
+    # the packed production path via synthesize_fixed).
+    plain = ("tp" in mode) or seq_par
+
+    def fn(efts_params, voc_params, text, text_lengths):
+        e, value, tmask = efts.infer_durations(
+            efts_params, efts_cfg, text, text_lengths
+        )
+        mel, _ = efts.infer_decode(
+            efts_params, efts_cfg, value, e, tmask, t2, compute_dtype=compute_dtype
+        )
+        last = jnp.take_along_axis(e, (text_lengths - 1)[:, None], axis=1)[:, 0]
+        mel_lengths = jnp.clip(jnp.round(last).astype(jnp.int32), 1, t2)
+        mel = mel * sequence_mask(mel_lengths, t2, dtype=mel.dtype)[:, :, None]
+        if seq_par:
+            # shard mel time across chips: GSPMD partitions the conv
+            # stacks spatially (halo exchange via collective-permute), so
+            # peak per-chip activation memory is O(T2 / model_extent)
+            mel = jax.lax.with_sharding_constraint(
+                mel, NamedSharding(mesh, P(None, MODEL_AXIS, None))
+            )
+        wav = hg.generator(
+            voc_params,
+            mel,
+            voc_cfg,
+            compute_dtype=compute_dtype,
+            mrf_impl="xla",
+            pack_small_channels=not plain,
+            ups_impl="dilated" if plain else "auto",
+        )
+        if seq_par:
+            wav = jax.lax.with_sharding_constraint(
+                wav, NamedSharding(mesh, P(None, MODEL_AXIS))
+            )
+        wav_lengths = mel_lengths * voc_cfg.hop_size
+        wav = wav * sequence_mask(wav_lengths, t2 * voc_cfg.hop_size, dtype=wav.dtype)
+        return wav, wav_lengths, mel
+
+    return jax.jit(fn)
+
+
+def synthesize_fixed_sharded(
+    efts_params: dict,
+    voc_params: dict,
+    text,
+    text_lengths,
+    efts_cfg: EftsCNNConfig,
+    voc_cfg: HiFiGANConfig,
+    t2: int,
+    mesh,
+    mode: str = "dp",
+    compute_dtype=None,
+):
+    """Multi-chip batched synthesis (BASELINE north star: "the HiFi-GAN
+    generator sharded across chips when it exceeds one chip's HBM,
+    alignment/IMV state exchanged via collectives").
+
+    `mode` is a '+'-joined set of axes to use:
+      "dp"     batch over the 'data' axis — throughput scale-out (the
+               reference's only strategy, DDP, covers just this case for
+               training; it has no batched synthesis at all)
+      "tp"     parameter channels over 'model' (`parallel/sharding.py`
+               rules) — generator weights/activations split across chips;
+               GSPMD inserts the all-gathers/psums
+      "sp"     mel/waveform time axis over 'model' — long-utterance
+               synthesis where the activation footprint, not the weights,
+               exceeds a chip; conv halos ride collective-permute, and the
+               alignment-chain tensors ([B, T1, T2] energies, IMV cumsum)
+               are partitioned over T2 by propagation
+      "dp+tp", "dp+sp"  combinations
+
+    Outputs are numerically identical to `synthesize_fixed` modulo f32
+    reassociation (`tests/test_sharded_synthesis.py`). Returns device
+    arrays (wav, wav_lengths, mel).
+    """
+    from efficient_tts_tpu.parallel.sharding import (
+        batch_sharding,
+        param_sharding,
+        replicated,
+    )
+
+    rep = replicated(mesh)
+    if "tp" in mode:
+        efts_params = jax.device_put(efts_params, param_sharding(efts_params, mesh))
+        voc_params = jax.device_put(voc_params, param_sharding(voc_params, mesh))
+    else:
+        efts_params = jax.device_put(efts_params, rep)
+        voc_params = jax.device_put(voc_params, rep)
+    if "dp" in mode:
+        text = jax.device_put(jnp.asarray(text), batch_sharding(mesh, ndim=2))
+        text_lengths = jax.device_put(
+            jnp.asarray(text_lengths), batch_sharding(mesh, ndim=1)
+        )
+    else:
+        text = jax.device_put(jnp.asarray(text), rep)
+        text_lengths = jax.device_put(jnp.asarray(text_lengths), rep)
+    fn = _sharded_synth_fn(mesh, mode, efts_cfg, voc_cfg, t2, compute_dtype)
+    return fn(efts_params, voc_params, text, text_lengths)

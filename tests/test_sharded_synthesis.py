@@ -1,0 +1,95 @@
+"""Multi-chip synthesis modes (dp / tp / sp) on the 8-device virtual mesh.
+
+Every mode must reproduce the single-device `synthesize_fixed` output
+(f32 reassociation tolerance): data parallelism shards the utterance
+batch, tensor parallelism shards generator/decoder channels (the BASELINE
+north star's "generator sharded across chips"), sequence parallelism
+shards the mel/waveform time axis so conv halos and the alignment chain
+ride GSPMD collectives.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficient_tts_tpu.models import efficient_tts as efts
+from efficient_tts_tpu.models import hifigan as hg
+from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
+from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+from efficient_tts_tpu.parallel.mesh import make_mesh
+from efficient_tts_tpu.pipeline import synthesize_fixed, synthesize_fixed_sharded
+
+EFTS_CFG = EftsCNNConfig(
+    num_symbols=40,
+    symbol_embedding_dim=64,
+    n_channels=64,
+    n_text_encoder_layer=2,
+    n_mel_encoder_layer=1,
+    n_decoder_layer=2,
+    n_duration_layer=2,
+    dropout_rate=0.0,
+    use_masking=True,
+)
+VOC_CFG = HiFiGANConfig(
+    upsample_rates=(8, 8, 2, 2),
+    upsample_kernel_sizes=(16, 16, 4, 4),
+    upsample_initial_channel=64,
+    resblock_kernel_sizes=(3, 7),
+    resblock_dilation_sizes=((1, 3), (1, 3)),
+)
+T2 = 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    efts_params = efts.init(jax.random.PRNGKey(0), EFTS_CFG)
+    voc_params = hg.init_generator(jax.random.PRNGKey(1), VOC_CFG)
+    b, t1 = 8, 12
+    rng = np.random.default_rng(2)
+    text = rng.integers(1, EFTS_CFG.num_symbols, size=(b, t1)).astype(np.int32)
+    text_lengths = np.asarray([12, 11, 10, 12, 9, 12, 8, 12], np.int32)
+    wav, wl, mel = synthesize_fixed(
+        efts_params, voc_params, jnp.asarray(text), jnp.asarray(text_lengths),
+        EFTS_CFG, VOC_CFG, T2,
+    )
+    ref = (np.asarray(wav), np.asarray(wl), np.asarray(mel))
+    return efts_params, voc_params, text, text_lengths, ref
+
+
+@pytest.mark.parametrize("mode,mesh_shape", [
+    ("dp", (8, 1)),
+    ("tp", (1, 8)),
+    ("sp", (1, 8)),
+    ("dp+tp", (4, 2)),
+    ("dp+sp", (4, 2)),
+])
+def test_sharded_synthesis_matches_single_device(setup, mode, mesh_shape):
+    efts_params, voc_params, text, text_lengths, ref = setup
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    wav, wl, mel = synthesize_fixed_sharded(
+        efts_params, voc_params, text, text_lengths,
+        EFTS_CFG, VOC_CFG, T2, mesh, mode=mode,
+    )
+    np.testing.assert_array_equal(np.asarray(wl), ref[1])
+    np.testing.assert_allclose(np.asarray(mel), ref[2], atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(wav), ref[0], atol=2e-5, rtol=1e-4)
+
+
+def test_tp_actually_shards_generator_params(setup):
+    """The tp mode must place generator kernels sharded over 'model' (not
+    silently replicate) — the north-star HBM scale-out property."""
+    efts_params, voc_params, text, text_lengths, _ = setup
+    from efficient_tts_tpu.parallel.sharding import param_sharding
+
+    mesh = make_mesh(data=1, model=8)
+    placed = jax.device_put(voc_params, param_sharding(voc_params, mesh))
+    leaves = jax.tree_util.tree_leaves(placed)
+    sharded = [
+        l for l in leaves
+        if l.ndim >= 2 and not l.sharding.is_fully_replicated
+    ]
+    assert len(sharded) > 10  # conv kernels actually split across chips
+    # per-chip bytes of a sharded kernel shrink by the model extent
+    big = max(sharded, key=lambda l: l.size)
+    assert big.addressable_shards[0].data.size == big.size // 8
