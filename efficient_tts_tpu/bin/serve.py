@@ -35,6 +35,9 @@ def get_parser():
                    help="serve conv stacks in bfloat16 (recommended on TPU)")
     p.add_argument("--use_cpu", action="store_true")
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard serving micro-batches over N chips "
+                        "(0 = single chip; must divide --max_batch)")
     return p
 
 
@@ -86,6 +89,18 @@ def build_engine(args):
         if ds_params.get("use_phnseq"):
             phone_vocab = load_phone_vocab(ds_params["phnset_path"])
 
+    mesh = None
+    if args.data_parallel:
+        from efficient_tts_tpu.parallel.mesh import make_mesh
+
+        if args.max_batch % args.data_parallel:
+            raise SystemExit(
+                f"--max_batch {args.max_batch} not divisible by "
+                f"--data_parallel {args.data_parallel}"
+            )
+        mesh = make_mesh(data=args.data_parallel, model=1,
+                         devices=jax.devices()[: args.data_parallel])
+
     return TTSEngine(
         efts_params,
         voc_params,
@@ -94,6 +109,7 @@ def build_engine(args):
         max_batch=args.max_batch,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         phone_vocab=phone_vocab,
+        mesh=mesh,
     )
 
 

@@ -97,6 +97,7 @@ class TTSEngine:
         mrf_impl: str = "auto",
         phone_vocab: dict | None = None,
         cleaner_names=("english_cleaners",),
+        mesh=None,
     ):
         from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
         from efficient_tts_tpu.models.hifigan import HiFiGANConfig
@@ -111,7 +112,25 @@ class TTSEngine:
         self.t2_multiple = int(t2_multiple)
         self.max_t2 = int(max_t2)
         self.compute_dtype = compute_dtype
-        self.mrf_impl = mrf_impl
+        # multi-chip serving host: utterance micro-batches sharded over
+        # the mesh's 'data' axis (max_batch must divide its extent);
+        # the packed fast paths stay per-chip-local under pure dp
+        self.mesh = mesh
+        if mesh is not None:
+            import jax
+
+            from efficient_tts_tpu.parallel.sharding import replicated
+
+            if self.max_batch % mesh.shape["data"]:
+                raise ValueError(
+                    f"max_batch={self.max_batch} not divisible by the "
+                    f"mesh data extent {mesh.shape['data']}"
+                )
+            # place params once; per-batch device_put is then a no-op
+            rep = replicated(mesh)
+            self.efts_params = jax.device_put(self.efts_params, rep)
+            self.voc_params = jax.device_put(self.voc_params, rep)
+        self.mrf_impl = mrf_impl if mesh is None else "xla"
         self.phone_vocab = phone_vocab
         self.cleaner_names = tuple(cleaner_names)
         self.stats = EngineStats()
@@ -179,6 +198,7 @@ class TTSEngine:
                 max_t2=self.max_t2,
                 compute_dtype=self.compute_dtype,
                 mrf_impl=self.mrf_impl,
+                mesh=self.mesh,
             )
         dt = time.perf_counter() - t0
 

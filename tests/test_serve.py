@@ -248,3 +248,28 @@ def test_http_stream_roundtrip():
         server.batcher.close()
         server.server_close()
         t.join(timeout=5)
+
+
+def test_engine_mesh_data_parallel_matches_single_chip():
+    """TTSEngine(mesh=...) shards serving micro-batches over the 'data'
+    axis; outputs must equal the single-device engine's."""
+    from efficient_tts_tpu.parallel.mesh import make_mesh
+
+    texts = ["Hello there.", "A longer test sentence, with a comma.",
+             "Short.", "Numbers like 42 work."]
+    ref = _engine(max_batch=4).synthesize(texts)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    eng = TTSEngine(
+        fold_weight_norm(efts.init(jax.random.PRNGKey(0), EFTS_CFG)),
+        fold_weight_norm(hg.init_generator(jax.random.PRNGKey(1), VOC_CFG)),
+        EFTS_CFG,
+        VOC_CFG,
+        max_batch=4,
+        t2_multiple=32,
+        mesh=mesh,
+    )
+    out = eng.synthesize(texts)
+    assert len(out) == len(ref)
+    for a, b in zip(out, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-5)
