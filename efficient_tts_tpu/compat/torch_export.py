@@ -72,31 +72,28 @@ def hifigan_generator_to_state_dict(params: dict, cfg) -> dict:
     `load_hifigan_generator` (`hifigan_model.py:18-28`)."""
     sd: dict = {}
 
-    def put(prefix, p, transposed=False):
-        conv_fn = _convT_w if transposed else _conv_w
+    def put_transposed(prefix, p):
+        # torch weight_norm(dim=0) on ConvTranspose1d: g is [in,1,1],
+        # i.e. g flattened to axis 0, same reshape as the Conv1d case
         if "v" in p:
-            g = np.asarray(p["g"])
-            # torch weight_norm(dim=0): [out,1,1] for Conv1d, [in,1,1]
-            # for ConvTranspose1d — both are g flattened to axis 0
-            sd[prefix + ".weight_v"] = conv_fn(p["v"])
-            sd[prefix + ".weight_g"] = g.reshape(-1, 1, 1)
+            sd[prefix + ".weight_v"] = _convT_w(p["v"])
+            sd[prefix + ".weight_g"] = np.asarray(p["g"]).reshape(-1, 1, 1)
             sd[prefix + ".bias"] = np.asarray(p["b"])
         else:
-            sd[prefix + ".weight"] = conv_fn(p["w"])
+            sd[prefix + ".weight"] = _convT_w(p["w"])
             sd[prefix + ".bias"] = np.asarray(p["b"])
 
-    put("conv_pre", params["conv_pre"])
+    _conv(sd, "conv_pre", params["conv_pre"])
     for i, p in enumerate(params["ups"]):
-        put(f"ups.{i}", p, transposed=True)
-    n_kernels = len(cfg.resblock_kernel_sizes)
+        put_transposed(f"ups.{i}", p)
     for i, block in enumerate(params["resblocks"]):
         if cfg.resblock == "1":
             for j, p in enumerate(block["convs1"]):
-                put(f"resblocks.{i}.convs1.{j}", p)
+                _conv(sd, f"resblocks.{i}.convs1.{j}", p)
             for j, p in enumerate(block["convs2"]):
-                put(f"resblocks.{i}.convs2.{j}", p)
+                _conv(sd, f"resblocks.{i}.convs2.{j}", p)
         else:
             for j, p in enumerate(block["convs"]):
-                put(f"resblocks.{i}.convs.{j}", p)
-    put("conv_post", params["conv_post"])
+                _conv(sd, f"resblocks.{i}.convs.{j}", p)
+    _conv(sd, "conv_post", params["conv_post"])
     return sd

@@ -91,7 +91,8 @@ def synthesize(
     """Host-driven batched synthesis with automatic bucket selection.
 
     With a mesh, the utterance batch is sharded over the 'data' axis
-    (data-parallel multi-chip synthesis; batch must divide the extent).
+    (data-parallel multi-chip synthesis; the data extent must divide the
+    batch size).
     Returns (wav [B, T_bucket*hop] numpy, wav_lengths [B] numpy).
     """
     if mesh is not None:
@@ -218,12 +219,13 @@ def _sharded_synth_fn(mesh, mode, efts_cfg, voc_cfg, t2, compute_dtype):
 
     from efficient_tts_tpu.parallel.mesh import MODEL_AXIS
 
-    seq_par = "sp" in mode
+    tokens = set(mode.split("+"))
+    seq_par = "sp" in tokens
     # tp/sp shard channels or time across chips; the packed space-to-depth
     # fast paths fold positions into channels, which would fight those
     # shardings, so they use the plain lowering (single-chip serving keeps
     # the packed production path via synthesize_fixed).
-    plain = ("tp" in mode) or seq_par
+    plain = ("tp" in tokens) or seq_par
 
     def fn(efts_params, voc_params, text, text_lengths):
         e, value, tmask = efts.infer_durations(
@@ -302,14 +304,20 @@ def synthesize_fixed_sharded(
         replicated,
     )
 
+    unknown = set(mode.split("+")) - {"dp", "tp", "sp"}
+    if unknown or not mode:
+        raise ValueError(
+            f"mode {mode!r}: expected '+'-joined tokens from dp/tp/sp"
+        )
     rep = replicated(mesh)
-    if "tp" in mode:
+    tokens = set(mode.split("+"))
+    if "tp" in tokens:
         efts_params = jax.device_put(efts_params, param_sharding(efts_params, mesh))
         voc_params = jax.device_put(voc_params, param_sharding(voc_params, mesh))
     else:
         efts_params = jax.device_put(efts_params, rep)
         voc_params = jax.device_put(voc_params, rep)
-    if "dp" in mode:
+    if "dp" in tokens:
         text = jax.device_put(jnp.asarray(text), batch_sharding(mesh, ndim=2))
         text_lengths = jax.device_put(
             jnp.asarray(text_lengths), batch_sharding(mesh, ndim=1)

@@ -113,7 +113,7 @@ class TTSEngine:
         self.max_t2 = int(max_t2)
         self.compute_dtype = compute_dtype
         # multi-chip serving host: utterance micro-batches sharded over
-        # the mesh's 'data' axis (max_batch must divide its extent);
+        # the mesh's 'data' axis (its extent must divide max_batch);
         # the packed fast paths stay per-chip-local under pure dp
         self.mesh = mesh
         if mesh is not None:
@@ -130,6 +130,11 @@ class TTSEngine:
             rep = replicated(mesh)
             self.efts_params = jax.device_put(self.efts_params, rep)
             self.voc_params = jax.device_put(self.voc_params, rep)
+        if mesh is not None and mrf_impl not in ("auto", "xla"):
+            logging.getLogger(__name__).warning(
+                "mrf_impl=%r is not supported under a mesh (Pallas calls "
+                "are not GSPMD-partitionable); serving with 'xla'", mrf_impl
+            )
         self.mrf_impl = mrf_impl if mesh is None else "xla"
         self.phone_vocab = phone_vocab
         self.cleaner_names = tuple(cleaner_names)

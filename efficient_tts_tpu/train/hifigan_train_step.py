@@ -33,10 +33,10 @@ from efficient_tts_tpu.models import hifigan as hg
 from efficient_tts_tpu.models.hifigan import HiFiGANConfig
 
 
-# Production grouped-conv lowering tables for the MSD (see
-# `make_gan_train_step` docstring; measured in scripts/bench_gan_step.py,
-# whole-step timing on v5e — placeholders until measured, exactness is
-# impl-independent).
+# Production grouped-conv lowering defaults for the MSD, chosen by
+# whole-step timing on v5e (see `make_gan_train_step` docstring and
+# PERF.md "MSD grouped-conv lowering study"); exactness is
+# impl-independent.
 MSD_D_UPDATE_IMPL = "fgc"
 MSD_G_UPDATE_IMPL = "fgc"
 

@@ -93,3 +93,13 @@ def test_tp_actually_shards_generator_params(setup):
     # per-chip bytes of a sharded kernel shrink by the model extent
     big = max(sharded, key=lambda l: l.size)
     assert big.addressable_shards[0].data.size == big.size // 8
+
+
+def test_unknown_mode_rejected(setup):
+    efts_params, voc_params, text, text_lengths, _ = setup
+    mesh = make_mesh(data=8, model=1)
+    with pytest.raises(ValueError, match="dp/tp/sp"):
+        synthesize_fixed_sharded(
+            efts_params, voc_params, text, text_lengths,
+            EFTS_CFG, VOC_CFG, T2, mesh, mode="batch",
+        )
