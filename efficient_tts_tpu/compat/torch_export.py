@@ -97,3 +97,70 @@ def hifigan_generator_to_state_dict(params: dict, cfg) -> dict:
                 _conv(sd, f"resblocks.{i}.convs.{j}", p)
     _conv(sd, "conv_post", params["conv_post"])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN discriminators (MPD/MSD): pytrees -> torch state_dicts, so a
+# GAN run trained here can continue fine-tuning under the official torch
+# recipe (the `do_*` checkpoint carries mpd/msd; optimizer state is not
+# exported — resume with fresh torch optimizers)
+
+
+def _conv2d_out(sd: dict, prefix: str, p: dict) -> None:
+    """HWIO weight-normed conv2d -> torch [out, in, kh, kw] keys."""
+    sd[prefix + ".weight_v"] = np.ascontiguousarray(
+        np.transpose(np.asarray(p["v"]), (3, 2, 0, 1))
+    )
+    sd[prefix + ".weight_g"] = np.asarray(p["g"]).reshape(-1, 1, 1, 1)
+    sd[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def _sn_conv1d_out(sd: dict, prefix: str, p: dict) -> None:
+    """{w_orig, u, v, b} -> torch spectral-norm keys (see
+    `torch_import._sn_conv1d` for the v-flattening permutation)."""
+    w = np.asarray(p["w_orig"])  # [k, in, out]
+    k, in_ch, _ = w.shape
+    sd[prefix + ".weight_orig"] = np.ascontiguousarray(
+        np.transpose(w, (2, 1, 0))
+    )
+    sd[prefix + ".weight_u"] = np.asarray(p["u"])
+    sd[prefix + ".weight_v"] = np.ascontiguousarray(
+        np.asarray(p["v"]).reshape(k, in_ch).T.ravel()
+    )
+    sd[prefix + ".bias"] = np.asarray(p["b"])
+
+
+def hifigan_mpd_to_state_dict(params: dict) -> dict:
+    """Inverse of `torch_import.hifigan_mpd_from_state_dict`."""
+    sd: dict = {}
+    for i, d in enumerate(params["discriminators"]):
+        for j, p in enumerate(d["convs"]):
+            _conv2d_out(sd, f"discriminators.{i}.convs.{j}", p)
+        _conv2d_out(sd, f"discriminators.{i}.conv_post", d["conv_post"])
+    return sd
+
+
+def hifigan_msd_to_state_dict(params: dict) -> dict:
+    """Inverse of `torch_import.hifigan_msd_from_state_dict`."""
+    sd: dict = {}
+    for i, d in enumerate(params["discriminators"]):
+        out = _sn_conv1d_out if i == 0 else _conv
+        for j, p in enumerate(d["convs"]):
+            out(sd, f"discriminators.{i}.convs.{j}", p)
+        out(sd, f"discriminators.{i}.conv_post", d["conv_post"])
+    return sd
+
+
+def gan_state_to_torch_checkpoints(state: dict, voc_cfg) -> tuple:
+    """Full GAN train state -> (g_dict, do_dict) matching the official
+    HiFi-GAN repo's `g_<steps>` / `do_<steps>` checkpoint contents
+    (weights only; torch-side optimizers start fresh). Save with
+    `torch.save({k: torch.from_numpy(v) for ...})` per sub-dict."""
+    g = {"generator": hifigan_generator_to_state_dict(state["gen"]["params"], voc_cfg)}
+    do = {
+        "mpd": hifigan_mpd_to_state_dict(state["disc"]["params"]["mpd"]),
+        "msd": hifigan_msd_to_state_dict(state["disc"]["params"]["msd"]),
+        "steps": int(state["step"]),
+        "epoch": 0,
+    }
+    return g, do

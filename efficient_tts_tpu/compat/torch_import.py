@@ -163,3 +163,75 @@ def load_reference_checkpoint(path: str) -> dict:
         "steps": int(state.get("steps", 0)) if isinstance(state, dict) else 0,
         "epochs": int(state.get("epochs", 0)) if isinstance(state, dict) else 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN discriminators (MPD/MSD): torch state_dict -> pytrees, enabling
+# warm-starting the GAN trainer from discriminators trained with the
+# official torch recipe (`hifigan_model.py:148-268`; the reference ships
+# the modules but no trainer)
+
+
+def _wn_conv2d(sd: dict, prefix: str) -> dict:
+    """torch weight-normed Conv2d [out, in, kh, kw] -> HWIO {v, g, b}."""
+    return {
+        "v": np.ascontiguousarray(
+            np.transpose(sd[prefix + ".weight_v"], (2, 3, 1, 0))
+        ),
+        "g": np.asarray(sd[prefix + ".weight_g"]).reshape(1, 1, 1, -1),
+        "b": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _sn_conv1d(sd: dict, prefix: str) -> dict:
+    """torch spectral-normed Conv1d -> {w_orig, u, v, b}.
+
+    torch's power-iteration matrix is weight.view(out, in*k) (in-major
+    flattening); ours is the WIO reshape [k*in] (k-major), so the stored
+    right-singular vector is permuted accordingly — sigma and the
+    normalized kernel are invariant to the consistent reordering."""
+    w = np.asarray(sd[prefix + ".weight_orig"])  # [out, in, k]
+    out_ch, in_ch, k = w.shape
+    v_t = np.asarray(sd[prefix + ".weight_v"])  # [in*k], in-major
+    return {
+        "w_orig": np.ascontiguousarray(np.transpose(w, (2, 1, 0))),
+        "u": np.asarray(sd[prefix + ".weight_u"]),
+        "v": np.ascontiguousarray(v_t.reshape(in_ch, k).T.ravel()),
+        "b": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def hifigan_mpd_from_state_dict(sd: dict, n_convs: int = 5) -> dict:
+    """`MultiPeriodDiscriminator.state_dict()` -> `init_mpd`-shaped pytree
+    (5 period discriminators x (5 convs + conv_post), all weight-normed)."""
+    discs = []
+    for i in range(5):
+        discs.append(
+            {
+                "convs": [
+                    _wn_conv2d(sd, f"discriminators.{i}.convs.{j}")
+                    for j in range(n_convs)
+                ],
+                "conv_post": _wn_conv2d(sd, f"discriminators.{i}.conv_post"),
+            }
+        )
+    return {"discriminators": discs}
+
+
+def hifigan_msd_from_state_dict(sd: dict, n_convs: int = 7) -> dict:
+    """`MultiScaleDiscriminator.state_dict()` -> `init_msd`-shaped pytree
+    (3 scale discriminators x (7 convs + conv_post); the first is
+    spectral-normed, `hifigan_model.py:243`)."""
+    discs = []
+    for i in range(3):
+        conv = _sn_conv1d if i == 0 else _wn_conv
+        discs.append(
+            {
+                "convs": [
+                    conv(sd, f"discriminators.{i}.convs.{j}")
+                    for j in range(n_convs)
+                ],
+                "conv_post": conv(sd, f"discriminators.{i}.conv_post"),
+            }
+        )
+    return {"discriminators": discs}
