@@ -113,7 +113,10 @@ class EftsTrainer:
                 self.state, metrics = self._train_step(self.state, batch, sub)
                 step += 1
                 count += 1
-                for k in ("loss", "mel_loss", "duration_loss"):
+                loss_val = float(jax.device_get(metrics["loss"]))
+                self._check_finite(loss_val, step)
+                totals["loss"] += loss_val
+                for k in ("mel_loss", "duration_loss"):
                     totals[k] += float(jax.device_get(metrics[k]))
 
                 if step % self.log_interval_steps == 0:
@@ -141,6 +144,23 @@ class EftsTrainer:
             self.save()
             raise
         return self.state
+
+    def _check_finite(self, loss_val: float, step: int):
+        """Divergence guard (absent upstream): a non-finite loss saves an
+        emergency checkpoint of the last finite state and aborts with a
+        clear error instead of silently training on NaNs for the rest of
+        a long unattended run. The saved state is the *post-update* one;
+        resume from the previous interval checkpoint with a lower lr."""
+        import math
+
+        if math.isfinite(loss_val):
+            return
+        log.error("non-finite loss %r at step %d: checkpointing and aborting",
+                  loss_val, step)
+        self.save()
+        raise FloatingPointError(
+            f"training diverged: loss={loss_val} at step {step}"
+        )
 
     def evaluate(self, step: int):
         """Eval epoch with diagnostics on the first batch (reference :193-252)."""

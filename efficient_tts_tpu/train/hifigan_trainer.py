@@ -9,6 +9,7 @@ generator and discriminator states so training resumes exactly
 from __future__ import annotations
 
 import logging
+import math
 import os
 import time
 from collections import defaultdict
@@ -107,7 +108,17 @@ class HiFiGANTrainer:
                 step += 1
                 count += 1
                 for k, v in metrics.items():
-                    totals[k] += float(jax.device_get(v))
+                    val = float(jax.device_get(v))
+                    if k in ("g_loss", "d_loss") and not math.isfinite(val):
+                        log.error(
+                            "non-finite %s=%r at step %d: checkpointing "
+                            "and aborting (divergence guard)", k, val, step,
+                        )
+                        self.save()
+                        raise FloatingPointError(
+                            f"GAN training diverged: {k}={val} at step {step}"
+                        )
+                    totals[k] += val
                 if step % self.log_interval_steps == 0:
                     dt = time.time() - t_last
                     means = {k: v / count for k, v in totals.items()}

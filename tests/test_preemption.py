@@ -67,3 +67,36 @@ def test_trainer_checkpoints_on_sigterm(tmp_path):
         trainer.run()
     saved = [d for d in os.listdir(tmp_path) if d.startswith("checkpoint-")]
     assert saved == ["checkpoint-3steps"]
+
+
+def test_trainer_divergence_guard_checkpoints_and_aborts(tmp_path):
+    """A non-finite loss saves an emergency checkpoint and raises
+    FloatingPointError instead of training on NaNs (divergence guard,
+    absent upstream)."""
+    state = {
+        "gen": {"params": {"w": jnp.ones((3,))}},
+        "step": jnp.asarray(0, jnp.int32),
+    }
+
+    def train_step(state, batch):
+        step = state["step"] + 1
+        loss = jnp.where(step >= 3, jnp.nan, 0.5)
+        return {**state, "step": step}, {"g_loss": loss, "d_loss": jnp.zeros(())}
+
+    def batches():
+        while True:
+            yield None, {"x": np.zeros((1,))}
+
+    trainer = HiFiGANTrainer(
+        train_step,
+        state,
+        batches(),
+        outdir=str(tmp_path),
+        train_max_steps=100,
+        save_interval_steps=1000,
+        log_interval_steps=1000,
+    )
+    with pytest.raises(FloatingPointError, match="diverged"):
+        trainer.run()
+    saved = [d for d in os.listdir(tmp_path) if d.startswith("checkpoint-")]
+    assert saved == ["checkpoint-3steps"]
