@@ -135,6 +135,23 @@ def _load_vocoder(path: str, voc_cfg):
         sd = state["model"]
         # reference vocoder checkpoints store {"generator": sd}
         return fold_weight_norm(hifigan_generator_from_state_dict(sd, voc_cfg))
+    if os.path.isdir(path):
+        # orbax checkpoint from efts-train-vocoder ({gen, disc, step[, ema]})
+        # or a params-only generator tree; serve the EMA copy when tracked
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        if "ema" in restored:
+            gen = restored["ema"]
+        elif "gen" in restored:
+            gen = restored["gen"]["params"]
+        else:
+            gen = restored.get("params", restored)
+        import jax
+
+        gen = jax.tree_util.tree_map(jnp.asarray, gen)
+        return fold_weight_norm(gen)
     raise ValueError(f"unsupported vocoder checkpoint: {path}")
 
 

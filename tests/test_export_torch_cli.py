@@ -98,3 +98,25 @@ def test_export_efts_pkl_loads_in_reference_layout(tmp_path):
         loaded["model"]["text_embedding_table.weight"].numpy(),
         np.asarray(params["text_embedding"]["table"]),
     )
+
+
+def test_load_vocoder_from_orbax_gan_checkpoint(tmp_path):
+    """`--vocoder_checkpoint <orbax dir>` (the recipe's stage-3 path with
+    a trained vocoder, `recipes/lj/test.sh`) loads the generator — EMA
+    copy when tracked — and matches direct use of those params."""
+    import jax.numpy as jnp
+
+    from efficient_tts_tpu.bin.inference import _load_vocoder
+    from efficient_tts_tpu.nn.layers import fold_weight_norm
+
+    tx = optax.adam(2e-4)
+    state = init_gan_state(jax.random.PRNGKey(2), VOC_CFG, tx, tx, ema_decay=0.99)
+    # make the EMA copy distinguishable from the raw iterate
+    state["ema"] = jax.tree_util.tree_map(lambda x: x * 1.5, state["gen"]["params"])
+    path = ckpt.save_checkpoint(str(tmp_path / "voc"), state)
+
+    params = _load_vocoder(path, VOC_CFG)
+    mel = np.random.default_rng(0).standard_normal((1, 9, 80)).astype(np.float32)
+    wav = hg.generator(params, jnp.asarray(mel), VOC_CFG)
+    ref = hg.generator(fold_weight_norm(state["ema"]), jnp.asarray(mel), VOC_CFG)
+    np.testing.assert_allclose(np.asarray(wav), np.asarray(ref), atol=1e-6)
