@@ -52,17 +52,15 @@ def _to_torch(sd: dict) -> dict:
 
 
 def _voc_cfg(args):
-    from efficient_tts_tpu.models.hifigan import HiFiGANConfig
-    from efficient_tts_tpu.utils.config import load_config
+    from efficient_tts_tpu.utils.config import (
+        load_config,
+        vocoder_config_from_dict,
+        vocoder_config_near_checkpoint,
+    )
 
     if args.config:
-        fields = {
-            k: tuple(tuple(x) if isinstance(x, list) else x for x in v)
-            if isinstance(v, list) else v
-            for k, v in load_config(args.config).get("vocoder_params", {}).items()
-        }
-        return HiFiGANConfig(**fields)
-    return HiFiGANConfig()
+        return vocoder_config_from_dict(load_config(args.config))
+    return vocoder_config_near_checkpoint(args.checkpoint)
 
 
 def main(argv=None):

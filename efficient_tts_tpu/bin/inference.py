@@ -66,7 +66,9 @@ def main(argv=None):
     state = ckpt.load_checkpoint(args.checkpoint, template, load_only_params=True)
     efts_params = fold_weight_norm(state["params"])
 
-    voc_cfg = HiFiGANConfig()
+    from efficient_tts_tpu.utils.config import vocoder_config_near_checkpoint
+
+    voc_cfg = vocoder_config_near_checkpoint(args.vocoder_checkpoint)
     if args.vocoder_checkpoint:
         voc_params = _load_vocoder(args.vocoder_checkpoint, voc_cfg)
     else:

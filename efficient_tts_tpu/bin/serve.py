@@ -56,7 +56,7 @@ def build_engine(args):
     phone_vocab = None
     if args.random_init:
         cfg = EftsCNNConfig(num_symbols=148, dropout_rate=0.0, use_masking=True)
-        voc_cfg = HiFiGANConfig()
+        voc_cfg = HiFiGANConfig()  # random-init mode keeps defaults
         efts_params = fold_weight_norm(efts.init(jax.random.PRNGKey(0), cfg))
         voc_params = fold_weight_norm(hg.init_generator(jax.random.PRNGKey(1), voc_cfg))
     else:
@@ -75,7 +75,9 @@ def build_engine(args):
         state = ckpt.load_checkpoint(args.checkpoint, template, load_only_params=True)
         efts_params = fold_weight_norm(state["params"])
 
-        voc_cfg = HiFiGANConfig()
+        from efficient_tts_tpu.utils.config import vocoder_config_near_checkpoint
+
+        voc_cfg = vocoder_config_near_checkpoint(args.vocoder_checkpoint)
         if args.vocoder_checkpoint:
             from efficient_tts_tpu.bin.inference import _load_vocoder
 

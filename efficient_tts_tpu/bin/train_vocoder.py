@@ -53,15 +53,17 @@ def main(argv=None):
     )
     from efficient_tts_tpu.train.hifigan_trainer import HiFiGANTrainer
     from efficient_tts_tpu.train.optim import hifigan_adam
-    from efficient_tts_tpu.utils.config import load_config
+    from efficient_tts_tpu.utils.config import (
+        dump_config,
+        load_config,
+        vocoder_config_from_dict,
+    )
 
     config = load_config(args.config) if args.config else {}
-    voc_cfg = HiFiGANConfig(
-        **{
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in config.get("vocoder_params", {}).items()
-        }
-    )
+    voc_cfg = vocoder_config_from_dict(config)
+    # re-dump next to the checkpoints so inference/serving rebuild the
+    # same generator topology (reference pattern, train.py:98-99)
+    dump_config(config, args.outdir)
     lr = float(config.get("learning_rate", 2e-4))
     betas = tuple(config.get("adam_betas", (0.8, 0.99)))
     lr_decay = float(config.get("lr_decay", 0.999))

@@ -122,3 +122,35 @@ def optimizer_from_dict(config: dict):
         parts.append(OPTIMIZER_FACTORIES[opt_type](lr=1.0, **opt_params))
         parts.append(optax.scale_by_schedule(schedule))
     return optax.chain(*parts)
+
+
+def _deep_tuple(v):
+    return tuple(_deep_tuple(x) for x in v) if isinstance(v, list) else v
+
+
+def vocoder_config_from_dict(config: dict):
+    """Build `HiFiGANConfig` from a config dict's `vocoder_params`,
+    deep-converting YAML lists to tuples (the config is a frozen
+    dataclass used as a jit static argument, so every field must be
+    hashable — nested lists are not)."""
+    from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+
+    return HiFiGANConfig(
+        **{k: _deep_tuple(v) for k, v in dict(config.get("vocoder_params", {})).items()}
+    )
+
+
+def vocoder_config_near_checkpoint(path: str | None):
+    """HiFiGANConfig for a checkpoint: rebuilt from the `config.yml` the
+    vocoder trainer dumps next to its checkpoints (mirroring the
+    reference's model-rebuild-from-outdir pattern,
+    `nntts/bin/inference.py:42-48`), else library defaults."""
+    from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+
+    if path:
+        cfg_file = os.path.join(
+            os.path.dirname(os.path.abspath(path)), "config.yml"
+        )
+        if os.path.exists(cfg_file):
+            return vocoder_config_from_dict(load_config(cfg_file))
+    return HiFiGANConfig()

@@ -120,3 +120,36 @@ def test_load_vocoder_from_orbax_gan_checkpoint(tmp_path):
     wav = hg.generator(params, jnp.asarray(mel), VOC_CFG)
     ref = hg.generator(fold_weight_norm(state["ema"]), jnp.asarray(mel), VOC_CFG)
     np.testing.assert_allclose(np.asarray(wav), np.asarray(ref), atol=1e-6)
+
+
+def test_vocoder_config_rebuilt_from_outdir(tmp_path):
+    """A non-default generator topology is reconstructed from the
+    config.yml the vocoder trainer dumps next to its checkpoints — the
+    serve/inference CLIs must not silently assume the V1 defaults."""
+    from efficient_tts_tpu.bin.inference import _load_vocoder
+    from efficient_tts_tpu.utils.config import (
+        dump_config,
+        vocoder_config_near_checkpoint,
+    )
+
+    vp = {
+        "upsample_rates": [8, 8, 4],
+        "upsample_kernel_sizes": [16, 16, 8],
+        "upsample_initial_channel": 64,
+        "resblock_kernel_sizes": [3, 5],
+        "resblock_dilation_sizes": [[1, 2], [2, 6]],
+    }
+    outdir = str(tmp_path / "exp_voc")
+    dump_config({"vocoder_params": vp}, outdir)
+    cfg = vocoder_config_near_checkpoint(os.path.join(outdir, "checkpoint-5steps"))
+    assert cfg.upsample_rates == (8, 8, 4)
+    assert cfg.resblock_dilation_sizes == ((1, 2), (2, 6))
+    hash(cfg)  # jit-static usable
+
+    tx = optax.adam(2e-4)
+    state = init_gan_state(jax.random.PRNGKey(5), cfg, tx, tx)
+    path = ckpt.save_checkpoint(outdir, state)
+    params = _load_vocoder(path, cfg)
+    mel = np.random.default_rng(1).standard_normal((1, 8, 80)).astype(np.float32)
+    wav = hg.generator(params, jax.numpy.asarray(mel), cfg)
+    assert wav.shape == (1, 8 * 8 * 8 * 4)
