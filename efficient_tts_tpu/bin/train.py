@@ -139,6 +139,7 @@ def main(argv=None):
         eval_interval_steps=int(config.get("eval_interval_steps", 1000)),
         log_interval_steps=int(config.get("log_interval_steps", 1000)),
         writer=writer,
+        max_keep_checkpoints=config.get("max_keep_checkpoints"),
     )
     params = efts.init(jax.random.PRNGKey(int(config.get("seed", 0))), cfg)
     trainer.init_state(params)

@@ -26,6 +26,9 @@ def get_parser():
     p.add_argument("--use_stft_loss", action="store_true")
     p.add_argument("--compute_dtype", default=None, choices=["bfloat16"],
                    help="bf16 conv towers (params/losses stay f32)")
+    p.add_argument("--max_keep_checkpoints", type=int, default=None,
+                   help="retain only the newest N checkpoints (default: all, "
+                        "matching the reference)")
     p.add_argument("--ema_decay", type=float, default=None,
                    help="track an EMA of generator weights for eval/serving")
     p.add_argument("--fine_tuning", action="store_true",
@@ -118,6 +121,7 @@ def main(argv=None):
         step, state, train_iter, outdir=args.outdir,
         train_max_steps=args.train_max_steps, mesh=mesh,
         eval_step=eval_step, eval_batches=eval_batches,
+        max_keep_checkpoints=args.max_keep_checkpoints,
     )
     if args.resume:
         trainer.load(args.resume)

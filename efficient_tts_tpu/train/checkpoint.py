@@ -78,3 +78,29 @@ def latest_checkpoint(outdir: str) -> str | None:
             if step > best_step:
                 best, best_step = os.path.join(outdir, name), step
     return best
+
+
+def prune_checkpoints(outdir: str, keep: int | None) -> list:
+    """Delete all but the newest `keep` checkpoints in `outdir` (by step).
+
+    Production disk hygiene for large GAN states (~800 MB each); the
+    reference keeps everything (`trainer:259-263`), so `keep=None`
+    (default in the trainers) preserves that behavior. Returns the
+    removed paths."""
+    import shutil
+
+    if not keep or not os.path.isdir(outdir):
+        return []
+    steps = []
+    for name in os.listdir(outdir):
+        if name.startswith("checkpoint-") and name.endswith("steps"):
+            try:
+                steps.append((int(name[len("checkpoint-"):-len("steps")]), name))
+            except ValueError:
+                continue
+    removed = []
+    for _, name in sorted(steps)[:-keep]:
+        path = os.path.join(outdir, name)
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed

@@ -53,6 +53,7 @@ class EftsTrainer:
         log_interval_steps: int = 1000,
         seed: int = 0,
         writer=None,
+        max_keep_checkpoints: int | None = None,
     ):
         self.cfg = cfg
         self.tx = tx
@@ -66,6 +67,7 @@ class EftsTrainer:
         self.log_interval_steps = log_interval_steps
         self.rng = jax.random.PRNGKey(seed)
         self.writer = writer
+        self.max_keep_checkpoints = max_keep_checkpoints
         self.state = None
         self._train_step = make_train_step(cfg, tx)
         self._eval_step = make_eval_step(cfg)
@@ -82,6 +84,7 @@ class EftsTrainer:
     def save(self):
         path = ckpt.save_checkpoint(self.outdir, self.state)
         log.info("saved checkpoint %s", path)
+        ckpt.prune_checkpoints(self.outdir, self.max_keep_checkpoints)
         return path
 
     def load(self, path, load_only_params=False):

@@ -39,6 +39,7 @@ class HiFiGANTrainer:
         eval_step=None,
         eval_batches=None,
         eval_interval_steps: int = 1000,
+        max_keep_checkpoints: int | None = None,
     ):
         self.train_step = train_step
         self.state = state
@@ -52,11 +53,13 @@ class HiFiGANTrainer:
         self.eval_step = eval_step
         self.eval_batches = eval_batches or []
         self.eval_interval_steps = eval_interval_steps
+        self.max_keep_checkpoints = max_keep_checkpoints
         os.makedirs(outdir, exist_ok=True)
 
     def save(self):
         path = ckpt.save_checkpoint(self.outdir, self.state)
         log.info("saved vocoder checkpoint %s", path)
+        ckpt.prune_checkpoints(self.outdir, self.max_keep_checkpoints)
         return path
 
     def load(self, path):

@@ -9,6 +9,7 @@ exiting (the reference only handles KeyboardInterrupt,
 import os
 import signal
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -100,3 +101,59 @@ def test_trainer_divergence_guard_checkpoints_and_aborts(tmp_path):
         trainer.run()
     saved = [d for d in os.listdir(tmp_path) if d.startswith("checkpoint-")]
     assert saved == ["checkpoint-3steps"]
+
+
+def test_checkpoint_pruning_keeps_newest(tmp_path):
+    from efficient_tts_tpu.train.checkpoint import prune_checkpoints, save_checkpoint
+
+    for step in (5, 10, 15, 20):
+        save_checkpoint(str(tmp_path), {"step": jnp.asarray(step, jnp.int32)})
+    removed = prune_checkpoints(str(tmp_path), keep=2)
+    left = sorted(os.listdir(tmp_path))
+    assert left == ["checkpoint-15steps", "checkpoint-20steps"]
+    assert len(removed) == 2
+    assert prune_checkpoints(str(tmp_path), keep=None) == []  # reference mode
+
+
+def test_efts_trainer_divergence_guard(tmp_path):
+    """The EFTS trainer's _check_finite path: a NaN loss checkpoints and
+    aborts (same guard as the GAN trainer)."""
+    import optax
+
+    from efficient_tts_tpu.models import efficient_tts as efts_m
+    from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
+    from efficient_tts_tpu.train.efts_trainer import EftsTrainer
+
+    cfg = EftsCNNConfig(
+        num_symbols=12, symbol_embedding_dim=16, n_channels=16,
+        n_text_encoder_layer=1, n_mel_encoder_layer=1, n_decoder_layer=1,
+        dropout_rate=0.0, use_masking=True,
+    )
+
+    def batches():
+        while True:
+            yield 0, {
+                "text": np.ones((2, 4), np.int32),
+                "text_lengths": np.full((2,), 4, np.int32),
+                "mel": np.zeros((2, 8, 80), np.float32),
+                "mel_lengths": np.full((2,), 8, np.int32),
+            }
+
+    trainer = EftsTrainer(
+        cfg, optax.adam(1e-3), batches(), outdir=str(tmp_path),
+        train_max_steps=10, save_interval_steps=1000,
+        eval_interval_steps=1000, log_interval_steps=1000,
+    )
+    trainer.init_state(efts_m.init(jax.random.PRNGKey(0), cfg))
+
+    def bad_step(state, batch, rng):
+        return {**state, "step": state["step"] + 1}, {
+            "loss": jnp.asarray(float("nan")),
+            "mel_loss": jnp.zeros(()),
+            "duration_loss": jnp.zeros(()),
+        }
+
+    trainer._train_step = bad_step
+    with pytest.raises(FloatingPointError, match="diverged"):
+        trainer.run()
+    assert any(d.startswith("checkpoint-") for d in os.listdir(tmp_path))
