@@ -61,7 +61,9 @@ def main(argv=None):
     config = load_config(os.path.join(ckpt_dir, "config.yml"))
     cfg = model_config_from_dict(config)
 
-    params = efts.init(jax.random.PRNGKey(0), cfg)
+    from efficient_tts_tpu.models import model_module_for
+
+    params = model_module_for(cfg).init(jax.random.PRNGKey(0), cfg)
     template = create_state(params, adam_warmup())
     state = ckpt.load_checkpoint(args.checkpoint, template, load_only_params=True)
     efts_params = fold_weight_norm(state["params"])

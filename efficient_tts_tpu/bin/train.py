@@ -141,7 +141,11 @@ def main(argv=None):
         writer=writer,
         max_keep_checkpoints=config.get("max_keep_checkpoints"),
     )
-    params = efts.init(jax.random.PRNGKey(int(config.get("seed", 0))), cfg)
+    from efficient_tts_tpu.models import model_module_for
+
+    params = model_module_for(cfg).init(
+        jax.random.PRNGKey(int(config.get("seed", 0))), cfg
+    )
     trainer.init_state(params)
 
     if args.resume:

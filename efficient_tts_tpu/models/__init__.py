@@ -21,3 +21,18 @@ MODEL_REGISTRY = {
     "EfficientTTSTransformer": efficient_tts_transformer,
     "DurationModel": duration_model,
 }
+
+
+def model_module_for(cfg):
+    """Model module (init/forward/infer_durations/infer_decode) for a
+    config instance — the train steps, pipeline, and CLIs dispatch on
+    this so every MODEL_REGISTRY family is trainable and servable, not
+    just EFTS-CNN (the reference resolves classes by string the same
+    way, `nntts/bin/train.py:173-176`)."""
+    from efficient_tts_tpu.models.efficient_tts_transformer import (
+        EftsTransformerConfig,
+    )
+
+    if isinstance(cfg, EftsTransformerConfig):
+        return efficient_tts_transformer
+    return efficient_tts

@@ -188,12 +188,21 @@ def infer_durations(params, cfg, text, text_lengths):
     return jnp.cumsum(delta_e, axis=1), text_value, text_mask
 
 
-def infer_decode(params, cfg, text_value, e, text_mask, t2: int):
+def infer_decode(params, cfg, text_value, e, text_mask, t2: int, compute_dtype=None):
+    """`compute_dtype=jnp.bfloat16` runs the expansion matmul and decoder
+    in bf16 (f32 accumulation); alignment reconstruction stays f32 —
+    same contract as the CNN variant's `infer_decode`."""
     reconst_alpha = alignment_from_positions(
         e, t2, sigma=cfg.sigma, mel_mask=None, text_mask=text_mask
     )
-    expanded = jnp.einsum("bst,bsc->btc", reconst_alpha, text_value)
+    value, alpha = text_value, reconst_alpha
+    if compute_dtype is not None:
+        value = value.astype(compute_dtype)
+        alpha = alpha.astype(compute_dtype)
+    expanded = jnp.einsum(
+        "bst,bsc->btc", alpha, value, preferred_element_type=jnp.float32
+    ).astype(value.dtype)
     dec = transformer_block(
         params["decoder"], expanded, cfg.n_heads, use_conv_ff=cfg.use_conv_ff
     )
-    return linear(params["mel_out"], dec), reconst_alpha
+    return linear(params["mel_out"], dec).astype(jnp.float32), reconst_alpha

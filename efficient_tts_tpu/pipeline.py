@@ -23,8 +23,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from efficient_tts_tpu.models import efficient_tts as efts
+from efficient_tts_tpu.models import efficient_tts as efts  # noqa: F401
 from efficient_tts_tpu.models import hifigan as hg
+from efficient_tts_tpu.models import model_module_for
 from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
 from efficient_tts_tpu.models.hifigan import HiFiGANConfig
 from efficient_tts_tpu.utils.masks import bucket_length, sequence_mask
@@ -51,8 +52,9 @@ def synthesize_fixed(
     `compute_dtype=jnp.bfloat16` runs decoder + vocoder conv stacks in
     bf16 on the MXU (alignment math stays float32).
     """
-    e, value, tmask = efts.infer_durations(efts_params, efts_cfg, text, text_lengths)
-    mel, _ = efts.infer_decode(
+    m = model_module_for(efts_cfg)
+    e, value, tmask = m.infer_durations(efts_params, efts_cfg, text, text_lengths)
+    mel, _ = m.infer_decode(
         efts_params, efts_cfg, value, e, tmask, t2, compute_dtype=compute_dtype
     )
     # true per-utterance mel length from the last valid aligned position
@@ -70,7 +72,9 @@ def synthesize_fixed(
 @functools.partial(jax.jit, static_argnames=("efts_cfg",))
 def predict_lengths(efts_params: dict, text, text_lengths, efts_cfg: EftsCNNConfig):
     """Stage-1 graph: aligned positions only (for host bucket choice)."""
-    e, _, _ = efts.infer_durations(efts_params, efts_cfg, text, text_lengths)
+    e, _, _ = model_module_for(efts_cfg).infer_durations(
+        efts_params, efts_cfg, text, text_lengths
+    )
     last = jnp.take_along_axis(e, (text_lengths - 1)[:, None], axis=1)[:, 0]
     return jnp.round(last).astype(jnp.int32)
 
@@ -133,8 +137,9 @@ def decode_mel_fixed(
 
     The mel half of `synthesize_fixed`, for workflows that vocode
     separately (streaming, GTA-style inspection)."""
-    e, value, tmask = efts.infer_durations(efts_params, efts_cfg, text, text_lengths)
-    mel, _ = efts.infer_decode(
+    m = model_module_for(efts_cfg)
+    e, value, tmask = m.infer_durations(efts_params, efts_cfg, text, text_lengths)
+    mel, _ = m.infer_decode(
         efts_params, efts_cfg, value, e, tmask, t2, compute_dtype=compute_dtype
     )
     last = jnp.take_along_axis(e, (text_lengths - 1)[:, None], axis=1)[:, 0]
@@ -228,10 +233,11 @@ def _sharded_synth_fn(mesh, mode, efts_cfg, voc_cfg, t2, compute_dtype):
     plain = ("tp" in tokens) or seq_par
 
     def fn(efts_params, voc_params, text, text_lengths):
-        e, value, tmask = efts.infer_durations(
+        m = model_module_for(efts_cfg)
+        e, value, tmask = m.infer_durations(
             efts_params, efts_cfg, text, text_lengths
         )
-        mel, _ = efts.infer_decode(
+        mel, _ = m.infer_decode(
             efts_params, efts_cfg, value, e, tmask, t2, compute_dtype=compute_dtype
         )
         last = jnp.take_along_axis(e, (text_lengths - 1)[:, None], axis=1)[:, 0]

@@ -44,11 +44,15 @@ def make_train_step(
 
         sp_sharding = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
 
+    from efficient_tts_tpu.models import model_module_for
+
+    model = model_module_for(cfg)
+
     def loss_fn(params, batch, rng):
         mel = batch["mel"]
         if sp_sharding is not None:
             mel = jax.lax.with_sharding_constraint(mel, sp_sharding)
-        out = efts.forward(
+        out = model.forward(
             params,
             cfg,
             batch["text"],
@@ -78,9 +82,13 @@ def make_train_step(
 
 
 def make_eval_step(cfg: EftsCNNConfig):
+    from efficient_tts_tpu.models import model_module_for
+
+    model = model_module_for(cfg)
+
     @jax.jit
     def eval_step(params, batch):
-        out = efts.forward(
+        out = model.forward(
             params,
             cfg,
             batch["text"],

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from efficient_tts_tpu.models import efficient_tts_transformer as eftst
 from efficient_tts_tpu.models.efficient_tts_transformer import EftsTransformerConfig
@@ -62,3 +63,52 @@ def test_inference_two_stage():
     assert mel.shape == (2, t2, 80)
     assert alpha.shape == (2, text.shape[1], t2)
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_transformer_trains_and_synthesizes_through_stack():
+    """The registry's EfficientTTSTransformer is a first-class citizen of
+    the trainer/pipeline stack: make_train_step dispatches on the config
+    type and the batched synthesis pipeline decodes through the
+    transformer decoder."""
+    import optax
+
+    from efficient_tts_tpu.models import hifigan as hg
+    from efficient_tts_tpu.models import model_module_for
+    from efficient_tts_tpu.models import efficient_tts_transformer as m
+    from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+    from efficient_tts_tpu.pipeline import synthesize
+    from efficient_tts_tpu.train.efts_train_step import make_train_step
+
+    assert model_module_for(CFG) is m
+
+    tx = optax.adam(1e-3)
+    params = m.init(jax.random.PRNGKey(0), CFG)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.zeros((), jnp.int32)}
+    step = make_train_step(CFG, tx)
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": rng.integers(1, CFG.num_symbols, size=(2, 6)).astype(np.int32),
+        "text_lengths": np.asarray([6, 5], np.int32),
+        "mel": rng.standard_normal((2, 24, CFG.odim)).astype(np.float32),
+        "mel_lengths": np.asarray([24, 20], np.int32),
+    }
+    l0 = None
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss)
+        l0 = l0 if l0 is not None else loss
+    assert float(metrics["loss"]) < l0  # optimizing, not just running
+
+    voc = HiFiGANConfig(
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),),
+    )
+    wav, wav_lengths = synthesize(
+        state["params"], hg.init_generator(jax.random.PRNGKey(1), voc),
+        batch["text"], batch["text_lengths"], CFG, voc, bucket_multiple=16,
+    )
+    assert wav.shape[0] == 2 and np.isfinite(wav).all()
+    assert (wav_lengths > 0).all()
