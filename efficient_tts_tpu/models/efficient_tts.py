@@ -231,6 +231,10 @@ def forward(
         "imv": imv,
         "reconst_alpha": reconst_alpha,
         "mel_pred": mel_pred,
+        # aligned positions e [B, T1] — the (detached) duration target's
+        # integral; exposed so calibration checks can compare the duration
+        # predictor against its actual training target (reference :203-216)
+        "aligned_e": e_sg,
     }
 
 

@@ -174,6 +174,9 @@ def forward(
         "imv": imv,
         "reconst_alpha": reconst_alpha,
         "mel_pred": mel_pred,
+        # detached aligned positions (duration target integral), for
+        # calibration checks — same contract as the CNN variant
+        "aligned_e": e_sg,
     }
 
 
