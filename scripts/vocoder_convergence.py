@@ -8,6 +8,16 @@ numerical stand-in for "the vocoder learns to vocode" without the
 (unmounted) LJSpeech corpus.
 
 Run on TPU: python scripts/vocoder_convergence.py [--steps 2000]
+
+`--corpus real` trains on the real 22.05 kHz speech renditions the
+reference commits (built by `scripts/make_micro_corpus.py`; ~200 s of
+audio), holding out 2 utterances for eval — real-audio convergence
+evidence (copy-synthesis), not just synthetic harmonics.
+
+PASS criterion (asserted, exit code): the held-out mel-L1 of the EMA
+generator must drop to <= `--pass_ratio` (default 0.5) of its first
+evaluation, and the final evaluation must be within 10% of the best seen
+(no divergence at the end).
 """
 
 from __future__ import annotations
@@ -76,13 +86,38 @@ def main():
     ap.add_argument("--out", default="vocoder_convergence.json")
     ap.add_argument("--compute_dtype", default=None, choices=["bfloat16"],
                     help="bf16 conv towers (validates mixed-precision GAN training)")
+    ap.add_argument("--corpus", default="synthetic", choices=["synthetic", "real"])
+    ap.add_argument("--real_dir", default="exp/micro_corpus/wavs",
+                    help="wav dir for --corpus real (make_micro_corpus.py)")
+    ap.add_argument("--pass_ratio", type=float, default=0.5)
     args = ap.parse_args()
 
     voc_cfg = HiFiGANConfig()
     mel_cfg = MelConfig()
     rng = np.random.default_rng(0)
-    train_waves = [harmonic_wave(rng, SR * 2) for _ in range(24)]
-    eval_waves = [harmonic_wave(rng, SR * 2) for _ in range(4)]
+    if args.corpus == "real":
+        import glob
+
+        from efficient_tts_tpu.data.dataset import load_wav_float
+
+        paths = sorted(glob.glob(os.path.join(args.real_dir, "*.wav")))
+        if not paths:
+            raise SystemExit(
+                f"no wavs in {args.real_dir} — run scripts/make_micro_corpus.py"
+            )
+        # hold out every rendition of 2 utterances for eval
+        held = ("LJ043-0016", "LJ045-0096")
+        train_waves, eval_waves = [], []
+        for p in paths:
+            w, sr = load_wav_float(p)
+            assert sr == SR, (p, sr)
+            (eval_waves if os.path.basename(p).startswith(held) else
+             train_waves).append(w)
+        print(f"real corpus: {len(train_waves)} train / {len(eval_waves)} "
+              f"eval wavs ({sum(len(w) for w in train_waves)/SR:.0f}s train)")
+    else:
+        train_waves = [harmonic_wave(rng, SR * 2) for _ in range(24)]
+        eval_waves = [harmonic_wave(rng, SR * 2) for _ in range(4)]
     eval_batch = segments(rng, eval_waves, mel_cfg, 8, voc_cfg.segment_size)
 
     gen_tx = hifigan_adam()
@@ -120,12 +155,29 @@ def main():
     )[0]
     y = eval_batch["audio"][0]
     corr = float(np.corrcoef(y, y_hat[: len(y)])[0, 1])
-    result = {"history": history, "final_waveform_corr": corr}
+
+    first = history[0]["eval_mel_l1"]
+    final = history[-1]["eval_mel_l1"]
+    best = min(h["eval_mel_l1"] for h in history)
+    ok = final <= args.pass_ratio * first and final <= 1.10 * best
+    result = {
+        "corpus": args.corpus,
+        "compute_dtype": args.compute_dtype or "float32",
+        "history": history,
+        "final_waveform_corr": corr,
+        "eval_mel_l1_first": first,
+        "eval_mel_l1_final": final,
+        "eval_mel_l1_best": best,
+        "pass": ok,
+    }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print("waveform corr (eval, EMA generator):", corr)
+    print(f"eval mel-L1 {first:.3f} -> {final:.3f} (best {best:.3f})")
     print("wrote", args.out)
+    print("VOCODER CONVERGENCE:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

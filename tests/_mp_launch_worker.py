@@ -20,6 +20,8 @@ the reference's launcher + NCCL rendezvous
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 coordinator = sys.argv[1]
 num_procs = int(sys.argv[2])
 pid = int(sys.argv[3])

@@ -34,7 +34,9 @@ def test_two_process_dp_training(tmp_path):
     outdir = str(tmp_path / "ckpt")
 
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # NEVER set PYTHONPATH here (it breaks the machine's TPU-relay
+    # sitecustomize); the worker sys.path-inserts the repo root itself.
+    env.pop("PYTHONPATH", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     # don't let the parent test session's TPU/axon tunnel leak in
