@@ -76,6 +76,20 @@ def main():
     sr = voc_cfg.sampling_rate
     audio_seconds = b * t2 * voc_cfg.hop_size / sr
     value = audio_seconds / dt
+
+    # roofline fraction + active serving-table provenance (verdict r1 #7)
+    from efficient_tts_tpu.models.hifigan import device_kind_slug, serving_tables
+    from efficient_tts_tpu.utils.flops import (
+        efts_cnn_infer_flops,
+        generator_flops,
+        peak_flops_for,
+    )
+
+    flops = efts_cnn_infer_flops(efts_cfg, b, t1, t2) + generator_flops(
+        voc_cfg, b, t2
+    )
+    peak = peak_flops_for(device_kind_slug())
+    mfu = round(flops / dt / peak, 4) if peak else None
     print(
         json.dumps(
             {
@@ -83,6 +97,9 @@ def main():
                 "value": round(value, 2),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value, 2),
+                "mfu": mfu,
+                "device_kind": device_kind_slug(),
+                "serving_tables": serving_tables()["source"],
             }
         )
     )

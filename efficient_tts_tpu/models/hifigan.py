@@ -214,7 +214,7 @@ def generator(
                 cfg.resblock_kernel_sizes,
                 cfg.resblock_dilation_sizes,
                 r,
-                t_tile=_PALLAS_T_TILE.get(ch, 1024),
+                t_tile=_t_tile(ch),
                 int8=False,
                 interpret=pallas_interpret,
             )
@@ -301,6 +301,118 @@ _MRF_STRATEGY: dict = {
     (64, k, d): "plain" for k in (3, 7, 11) for d in (1, 3, 5)
 }
 
+
+# ---------------------------------------------------------------------------
+# per-chip serving tables
+#
+# The _MRF_STRATEGY / _UPS_IMPL / _PALLAS_T_TILE constants in this file
+# are whole-generator measurements on one v5e at LJ serving shapes
+# (B=16, T2=512, bf16). On any other chip they may be stale, so every
+# lookup first consults a per-chip JSON table measured by
+# `scripts/autotune_serving.py`. Search order:
+#   1. $EFTS_TPU_SERVING_TABLES       (explicit file, any name)
+#   2. efficient_tts_tpu/configs/serving_tables/<device_kind>.json
+#      (the autotuner's default output location, committed per chip)
+#   3. the baked v5e constants above/below.
+# JSON schema: {"device_kind": str, "mrf_strategy": {"ch,k,d": impl},
+# "ups_impl": {"u,k,in_ch": impl}, "pallas_t_tile": {"ch": int}, ...}.
+
+_serving_tables_cache: dict | None = None
+
+
+def _tables_dir() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "serving_tables")
+
+
+def device_kind_slug() -> str | None:
+    """Sanitized `device_kind` of device 0 ('TPU v5 lite' -> 'tpu_v5_lite');
+    None off-TPU (no table lookup happens there)."""
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError:
+        return None
+    if dev.platform != "tpu":
+        return None
+    return "".join(
+        c if c.isalnum() else "_" for c in dev.device_kind.lower()
+    ).strip("_")
+
+
+def _parse_int_key(k: str) -> tuple:
+    return tuple(int(x) for x in k.split(","))
+
+
+def serving_tables() -> dict:
+    """The active serving tables: parsed tuned entries + provenance.
+
+    {"source": "builtin-v5e" | <path>, "device_kind": slug | None,
+     "mrf_strategy": {(ch,k,d): impl}, "ups_impl": {(u,k,cin): impl},
+     "pallas_t_tile": {ch: int}}  (tuned dicts empty under builtins).
+    """
+    global _serving_tables_cache
+    if _serving_tables_cache is not None:
+        return _serving_tables_cache
+    import json
+    import logging
+    import os
+
+    kind = device_kind_slug()
+    candidates = []
+    env = os.environ.get("EFTS_TPU_SERVING_TABLES")
+    if env:
+        candidates.append(env)
+    if kind:
+        candidates.append(os.path.join(_tables_dir(), f"{kind}.json"))
+    tables = {
+        "source": "builtin-v5e",
+        "device_kind": kind,
+        "mrf_strategy": {},
+        "ups_impl": {},
+        "pallas_t_tile": {},
+    }
+    for path in candidates:
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+            tables["mrf_strategy"] = {
+                _parse_int_key(k): v
+                for k, v in raw.get("mrf_strategy", {}).items()
+            }
+            tables["ups_impl"] = {
+                _parse_int_key(k): v for k, v in raw.get("ups_impl", {}).items()
+            }
+            tables["pallas_t_tile"] = {
+                int(k): int(v) for k, v in raw.get("pallas_t_tile", {}).items()
+            }
+            tables["source"] = os.path.abspath(path)
+            break
+        except (ValueError, OSError) as e:
+            logging.getLogger(__name__).warning(
+                "ignoring malformed serving table %s: %s", path, e
+            )
+    _serving_tables_cache = tables
+    return tables
+
+
+def reset_serving_tables() -> None:
+    """Drop the cached tables (tests / after writing a new table file)."""
+    global _serving_tables_cache
+    _serving_tables_cache = None
+
+
+def _t_tile(ch: int) -> int:
+    tuned = serving_tables()["pallas_t_tile"]
+    if ch in tuned:
+        return tuned[ch]
+    return _PALLAS_T_TILE.get(ch, 1024)
+
 # ---------------------------------------------------------------------------
 # upsample (transposed conv) strategy
 #
@@ -345,7 +457,11 @@ _UPS_IMPL: dict = {
 
 def resolve_ups_impl(impl, u: int, k: int, in_ch: int) -> str:
     if impl == "auto":
-        return _UPS_IMPL.get(_ups_key(u, k, in_ch), "dilated")
+        tuned = serving_tables()["ups_impl"]
+        key = _ups_key(u, k, in_ch)
+        if key in tuned:
+            return tuned[key]
+        return _UPS_IMPL.get(key, "dilated")
     if callable(impl):
         return impl(u, k, in_ch)
     return impl
@@ -470,6 +586,9 @@ def resolve_mrf_impl(impl):
 
 
 def _strategy(ch: int, k: int, d: int) -> str:
+    tuned = serving_tables()["mrf_strategy"]
+    if (ch, k, d) in tuned:
+        return tuned[(ch, k, d)]
     return _MRF_STRATEGY.get((ch, k, d), "packed")
 
 

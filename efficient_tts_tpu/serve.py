@@ -339,10 +339,19 @@ class DynamicBatcher:
             items = self._gather()
             if items is None:
                 return
-            texts = [t for t, _ in items]
-            futs = [f for _, f in items]
+            # encode per request so one bad text fails only its own future
+            # instead of poisoning the whole coalesced batch
+            good: list = []
+            for text, fut in items:
+                try:
+                    good.append((self.engine.encode(text), fut))
+                except Exception as e:  # noqa: BLE001
+                    fut.set_exception(e)
+            if not good:
+                continue
+            futs = [f for _, f in good]
             try:
-                wavs = self.engine.synthesize(texts)
+                wavs = self.engine.synthesize_ids([s for s, _ in good])
             except Exception as e:  # noqa: BLE001 - propagate per-request
                 for f in futs:
                     f.set_exception(e)
@@ -352,7 +361,8 @@ class DynamicBatcher:
 
 
 def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
-                     max_wait_ms: float = 10.0):
+                     max_wait_ms: float = 10.0,
+                     max_request_bytes: int = 1 << 20):
     """Build (without starting) a ThreadingHTTPServer around the engine.
 
     Endpoints:
@@ -362,6 +372,11 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
            chunk arrives after one vocoder window, not the whole utt)
       GET  /healthz                               -> {"ok": true}
       GET  /stats                                 -> engine counters
+
+    Error contract: malformed JSON / missing-non-string-empty `text` /
+    bodies over ``max_request_bytes`` / text the front-end rejects
+    (empty encoding, > max_t1 symbols) are CLIENT errors (400/413);
+    only unexpected engine failures return 500.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -396,16 +411,33 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if n > max_request_bytes:
+                # drain nothing; reject before reading an oversized body
+                self._json(413, {"error": (
+                    f"request body {n} bytes > limit {max_request_bytes}"
+                )})
+                self.close_connection = True
+                return
+            try:
                 req = json.loads(self.rfile.read(n) or b"{}")
                 text = req["text"]
             except (ValueError, KeyError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
+                return
+            if not isinstance(text, str) or not text.strip():
+                self._json(400, {"error": "'text' must be a non-empty string"})
                 return
             if self.path == "/synthesize_stream":
                 self._stream(text)
                 return
             try:
                 wav = batcher.submit(text).result(timeout=120)
+            except ValueError as e:  # front-end rejection: client error
+                self._json(400, {"error": str(e)})
+                return
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
                 return
@@ -420,6 +452,9 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
             try:
                 chunks = engine.stream(text)
                 first = next(chunks)  # validate before committing to 200
+            except ValueError as e:  # front-end rejection: client error
+                self._json(400, {"error": str(e)})
+                return
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
                 return

@@ -1,0 +1,169 @@
+"""Per-chip autotune of the HiFi-GAN serving strategy tables.
+
+The baked `_MRF_STRATEGY` / `_UPS_IMPL` constants in `models/hifigan.py`
+were measured on one v5e at LJ serving shapes; on any other chip they
+may be stale (round-1 verdict item 7). This script re-measures the
+candidates on the CURRENT chip by whole-generator timing (isolated
+timings mislead — layout boundaries break XLA fusion, see PERF.md) with
+greedy coordinate descent per stage, and writes the winning table to
+`efficient_tts_tpu/configs/serving_tables/<device_kind>.json`, which
+`generator(...)`'s 'auto' paths load automatically (env override:
+$EFTS_TPU_SERVING_TABLES).
+
+Run on the target chip:
+  python scripts/autotune_serving.py [--b 16 --t2 512] [--rounds 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=16)
+    ap.add_argument("--t2", type=int, default=512)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--include_phase", action="store_true",
+                    help="also try the 'phase' MRF strategy (documented "
+                    "XLA-level loser on v5e; cheap to re-check elsewhere)")
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default: the per-chip path "
+                    "generator() loads)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficient_tts_tpu.models import hifigan as hg
+    from efficient_tts_tpu.models.hifigan import HiFiGANConfig, device_kind_slug
+    from efficient_tts_tpu.nn.layers import fold_weight_norm
+    from efficient_tts_tpu.utils.profiling import time_step
+
+    cfg = HiFiGANConfig()
+    params = fold_weight_norm(hg.init_generator(jax.random.PRNGKey(0), cfg))
+    mel = np.random.default_rng(0).standard_normal(
+        (args.b, args.t2, cfg.num_mels)
+    ).astype(np.float32)
+
+    # enumerate stages: channel counts after each upsample
+    ch = cfg.upsample_initial_channel
+    stages = []  # [(stage_idx, u, k_ups, cin_ups, ch_out)]
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        stages.append((i, u, k, ch, ch // 2))
+        ch //= 2
+
+    # current assignment: per-stage MRF strategy + per-stage ups impl,
+    # seeded from whatever the active tables resolve today
+    mrf_assign = {}
+    ups_assign = {}
+    for i, u, k, cin, cout in stages:
+        packed = cout < 128 and 128 % cout == 0
+        if packed:
+            mrf_assign[cout] = hg._strategy(cout, cfg.resblock_kernel_sizes[0], 1)
+        ups_assign[(u, k, cin)] = hg.resolve_ups_impl("auto", u, k, cin)
+
+    def mrf_fn(assign):
+        return lambda c, k, d: assign.get(c, "packed")
+
+    def ups_fn(assign):
+        return lambda u, k, cin: assign[(u, k, cin)]
+
+    def build_run(mrf_a, ups_a):
+        m = dict(mrf_a)
+        u = dict(ups_a)
+
+        @jax.jit
+        def run(p, x):
+            return hg.generator(
+                p, x, cfg, compute_dtype=jnp.bfloat16,
+                mrf_strategy=mrf_fn(m), ups_impl=ups_fn(u), mrf_impl="xla",
+            )
+
+        return run
+
+    def measure(mrf_a, ups_a) -> float:
+        run = build_run(mrf_a, ups_a)
+        return time_step(run, params, mel, iters=args.iters) * 1e3
+
+    t_start = time.time()
+    best_ms = measure(mrf_assign, ups_assign)
+    print(f"baseline (active tables): {best_ms:.2f} ms", flush=True)
+
+    mrf_cands = ["plain", "packed"] + (["phase"] if args.include_phase else [])
+    for rnd in range(args.rounds):
+        improved = False
+        for i, u, k, cin, cout in stages:
+            # ups candidates (subpixel_packed legality: u*cout == cin, k <= 2u)
+            cands = ["dilated", "subpixel"]
+            if u * cout == cin and k <= 2 * u:
+                cands.append("subpixel_packed")
+            for cand in cands:
+                if cand == ups_assign[(u, k, cin)]:
+                    continue
+                trial = dict(ups_assign)
+                trial[(u, k, cin)] = cand
+                ms = measure(mrf_assign, trial)
+                print(f"  ups[{i}] (u={u},k={k},cin={cin}) {cand}: "
+                      f"{ms:.2f} ms", flush=True)
+                if ms < best_ms:
+                    best_ms, ups_assign, improved = ms, trial, True
+            if cout in mrf_assign:
+                for cand in mrf_cands:
+                    if cand == mrf_assign[cout]:
+                        continue
+                    trial = dict(mrf_assign)
+                    trial[cout] = cand
+                    ms = measure(trial, ups_assign)
+                    print(f"  mrf[ch={cout}] {cand}: {ms:.2f} ms", flush=True)
+                    if ms < best_ms:
+                        best_ms, mrf_assign, improved = ms, trial, True
+        print(f"round {rnd}: best {best_ms:.2f} ms "
+              f"mrf={mrf_assign} ups={ups_assign}", flush=True)
+        if not improved:
+            break
+
+    kind = device_kind_slug() or "unknown"
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "efficient_tts_tpu", "configs", "serving_tables", f"{kind}.json",
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    table = {
+        "device_kind": kind,
+        "measured": {
+            "b": args.b, "t2": args.t2, "generator_ms": round(best_ms, 3),
+            "wall_s": round(time.time() - t_start, 1),
+        },
+        "mrf_strategy": {
+            f"{c},{k},{d}": s
+            for c, s in mrf_assign.items()
+            for k, dils in zip(cfg.resblock_kernel_sizes,
+                               cfg.resblock_dilation_sizes)
+            for d in dils
+        },
+        "ups_impl": {
+            f"{u},{k},{cin}": impl for (u, k, cin), impl in ups_assign.items()
+        },
+        "pallas_t_tile": {},  # xla is the production MRF impl; tiles used
+        #                       only under mrf_impl='pallas' (bench scripts)
+    }
+    with open(out, "w") as f:
+        json.dump(table, f, indent=1)
+    print(f"wrote {out} ({best_ms:.2f} ms generator at "
+          f"B={args.b}, T2={args.t2})")
+    hg.reset_serving_tables()
+
+
+if __name__ == "__main__":
+    main()

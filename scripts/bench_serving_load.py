@@ -1,0 +1,140 @@
+"""Serving-under-load benchmark: latency percentiles at fixed QPS.
+
+Drives the production serving stack (TTSEngine + DynamicBatcher, the
+same objects `efts-serve` wraps) with an open-loop Poisson arrival
+process at several offered loads and records per-request latency
+p50/p95/p99 plus achieved audio-s/s. Random weights (perf-only), with
+the duration predictor's output head pinned so every symbol maps to
+~5.5 mel frames — production-shaped work through the REAL dynamic
+bucketing path (unlike bench.py, which fixes the mel bucket).
+
+Run on TPU: python scripts/bench_serving_load.py [--qps 4,16,32,64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SENTENCES = [
+    # ~40 / ~90 / ~140 symbols after cleaning: spans 3 text buckets
+    "The quick brown fox jumps over the dog.",
+    "Under these circumstances, with proper management, the bean will "
+    "thrust forth its radicle quickly.",
+    "It is not possible to state with scientific certainty that a "
+    "particular small group of fibers come from a certain piece of "
+    "clothing, he said slowly.",
+]
+
+
+def build_engine(compute_dtype):
+    import jax
+
+    from efficient_tts_tpu.models import efficient_tts as efts
+    from efficient_tts_tpu.models import hifigan as hg
+    from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
+    from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+    from efficient_tts_tpu.nn.layers import fold_weight_norm
+    from efficient_tts_tpu.serve import TTSEngine
+
+    efts_cfg = EftsCNNConfig(num_symbols=148, dropout_rate=0.0, use_masking=True)
+    voc_cfg = HiFiGANConfig()
+    efts_params = fold_weight_norm(efts.init(jax.random.PRNGKey(0), efts_cfg))
+    voc_params = fold_weight_norm(hg.init_generator(jax.random.PRNGKey(1), voc_cfg))
+    # pin durations to ~5.5 frames/symbol: log(5.5 + offset 1.0) = 1.872
+    out = efts_params["duration_predictor"]["out"]
+    out["kernel"] = np.zeros_like(out["kernel"])
+    out["bias"] = np.full_like(out["bias"], np.log(6.5))
+    return TTSEngine(
+        efts_params, voc_params, efts_cfg, voc_cfg,
+        max_batch=16, compute_dtype=compute_dtype, mrf_impl="auto",
+    )
+
+
+def run_load(engine, qps: float, duration_s: float, rng) -> dict:
+    from efficient_tts_tpu.serve import DynamicBatcher
+
+    batcher = DynamicBatcher(engine, max_wait_ms=10.0)
+    engine.stats.__init__()  # reset counters
+    lat: list = []
+    lock = threading.Lock()
+    pending = []
+
+    def on_done(fut, t_submit):
+        fut.result()  # raise on error
+        with lock:
+            lat.append(time.perf_counter() - t_submit)
+
+    t_end = time.perf_counter() + duration_s
+    i = 0
+    try:
+        while time.perf_counter() < t_end:
+            text = SENTENCES[i % len(SENTENCES)]
+            i += 1
+            t_submit = time.perf_counter()
+            fut = batcher.submit(text)
+            fut.add_done_callback(
+                lambda f, t=t_submit: on_done(f, t)
+            )
+            pending.append(fut)
+            # Poisson arrivals
+            time.sleep(rng.exponential(1.0 / qps))
+        for f in pending:
+            f.result(timeout=120)
+    finally:
+        batcher.close()
+    wall = duration_s
+    lat_ms = np.sort(np.array(lat)) * 1e3
+    s = engine.stats
+    return {
+        "offered_qps": qps,
+        "completed": len(lat),
+        "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+        "p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
+        "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+        "mean_batch": round(float(np.mean(s.batch_sizes)), 2),
+        "audio_s_per_s": round(s.audio_seconds / wall, 1),
+        "device_util": round(s.compute_seconds / wall, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--qps", default="4,16,32,64")
+    ap.add_argument("--seconds", type=float, default=20.0)
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--json_out", default=None)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+    engine = build_engine(cdt)
+    # warm every (t1, t2) bucket the sentences hit, batched and solo
+    for s in SENTENCES:
+        engine.synthesize([s])
+    engine.synthesize(list(SENTENCES) * 6)
+    engine.stats.__init__()
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for qps in [float(q) for q in args.qps.split(",")]:
+        row = run_load(engine, qps, args.seconds, rng)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
