@@ -256,7 +256,9 @@ def infer_durations(
         offset=cfg.duration_offset,
         to_round=False,
     )
-    e = jnp.cumsum(delta_e, axis=1)  # pads contribute 0 -> e plateaus
+    # f32 cumsum regardless of compute dtype: bf16 would lose whole frames
+    # once e reaches a few hundred
+    e = jnp.cumsum(delta_e.astype(jnp.float32), axis=1)  # pads add 0 -> plateau
     return e, text_value, text_mask
 
 

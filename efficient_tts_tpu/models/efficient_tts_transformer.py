@@ -59,6 +59,21 @@ class EftsTransformerConfig:
     sigma_e: float = 0.5
     use_conv_ff: bool = True
     kernel_size: int = 3
+    # "bfloat16" runs the transformer towers (attention + FF) in bf16
+    # with f32 MXU accumulation; params, the IMV alignment chain, and
+    # losses stay f32 — the same contract as the CNN variant.
+    compute_dtype: str | None = None
+    # "flash" routes eligible self-attention through the fused Pallas
+    # TPU kernel (blockwise, the [B,H,T,T] scores never reach HBM);
+    # "auto" = flash on TPU / XLA elsewhere. Ineligible shapes (T not a
+    # multiple of 128) or attention-prob dropout fall back to XLA.
+    attn_impl: str = "xla"
+
+
+def _compute_dtype(cfg: EftsTransformerConfig):
+    if cfg.compute_dtype in (None, "float32", "f32"):
+        return None
+    return jnp.dtype(cfg.compute_dtype)
 
 
 def init(key, cfg: EftsTransformerConfig) -> dict:
@@ -91,11 +106,15 @@ def init(key, cfg: EftsTransformerConfig) -> dict:
 
 def _encode_text(params, cfg, text, text_mask, rng, deterministic):
     h = embedding(params["text_embedding"], text)
-    h = add_positional_encoding(h, scale=params["pe_scale"])
+    cdt = _compute_dtype(cfg)
+    if cdt is not None:
+        h = h.astype(cdt)
+    h = add_positional_encoding(h, scale=params["pe_scale"].astype(h.dtype))
     h = transformer_block(
         params["text_encoder"], h, cfg.n_heads,
         mask=text_mask[:, None, :], use_conv_ff=cfg.use_conv_ff,
         dropout_rate=cfg.dropout_rate, rng=rng, deterministic=deterministic,
+        attn_impl=cfg.attn_impl,
     )
     maskf = text_mask.astype(h.dtype)[:, :, None]
     key = linear(params["text_key"], h) * maskf
@@ -126,12 +145,15 @@ def forward(
         params, cfg, text, text_mask, r_text, deterministic
     )
 
-    mel_h = leaky_relu(linear(params["mel_prenet"], speech), 0.1)
-    mel_h = add_positional_encoding(mel_h, scale=params["pe_scale"])
+    cdt = _compute_dtype(cfg)
+    speech_c = speech.astype(cdt) if cdt is not None else speech
+    mel_h = leaky_relu(linear(params["mel_prenet"], speech_c), 0.1)
+    mel_h = add_positional_encoding(mel_h, scale=params["pe_scale"].astype(mel_h.dtype))
     mel_h = transformer_block(
         params["mel_encoder"], mel_h, cfg.n_heads,
         mask=mel_mask[:, None, :], use_conv_ff=cfg.use_conv_ff,
         dropout_rate=cfg.dropout_rate, rng=r_mel, deterministic=deterministic,
+        attn_impl=cfg.attn_impl,
     )
 
     alpha = scaled_dot_attention(mel_h, text_key, text_mask)
@@ -143,14 +165,20 @@ def forward(
         e, t2, sigma=cfg.sigma, mel_mask=mel_mask, text_mask=text_mask
     ) * text_mel_mask.astype(jnp.float32)
 
-    expanded = jnp.einsum("bst,bsc->btc", reconst_alpha, text_value)
+    alpha_c = reconst_alpha.astype(cdt) if cdt is not None else reconst_alpha
+    expanded = jnp.einsum(
+        "bst,bsc->btc", alpha_c, text_value, preferred_element_type=jnp.float32
+    )
+    if cdt is not None:
+        expanded = expanded.astype(cdt)
     expanded = expanded * mel_mask.astype(expanded.dtype)[:, :, None]
     dec = transformer_block(
         params["decoder"], expanded, cfg.n_heads,
         mask=mel_mask[:, None, :], use_conv_ff=cfg.use_conv_ff,
         dropout_rate=cfg.dropout_rate, rng=r_dec, deterministic=deterministic,
+        attn_impl=cfg.attn_impl,
     )
-    mel_pred = linear(params["mel_out"], dec)
+    mel_pred = linear(params["mel_out"], dec).astype(jnp.float32)
     mel_pred = mel_pred * mel_mask.astype(mel_pred.dtype)[:, :, None]
 
     e_sg = jax.lax.stop_gradient(e)
@@ -162,7 +190,7 @@ def forward(
         params["duration_predictor"], text_value,
         pad_mask=~text_mask.astype(bool), dropout_rate=cfg.dropout_rate,
         rng=r_dur, deterministic=deterministic,
-    )
+    ).astype(jnp.float32)
     mel_loss, dur_loss = fastspeech_loss(
         mel_pred, speech, dur_pred, log_delta_e, text_mask, mel_mask,
         use_masking=cfg.use_masking,
@@ -188,7 +216,8 @@ def infer_durations(params, cfg, text, text_lengths):
         params["duration_predictor"], text_value,
         pad_mask=~text_mask.astype(bool), offset=cfg.duration_offset,
     )
-    return jnp.cumsum(delta_e, axis=1), text_value, text_mask
+    # f32 cumsum regardless of compute dtype (same guard as the CNN)
+    return jnp.cumsum(delta_e.astype(jnp.float32), axis=1), text_value, text_mask
 
 
 def infer_decode(params, cfg, text_value, e, text_mask, t2: int, compute_dtype=None):

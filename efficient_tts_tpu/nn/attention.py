@@ -28,6 +28,36 @@ def multi_head_attention_init(key, n_head: int, n_feat: int, dtype=jnp.float32) 
     }
 
 
+def _flash_eligible(tq: int, tk: int, mask, dropout_rate, deterministic) -> bool:
+    """The Pallas TPU flash kernel needs 128-divisible sequence blocks,
+    self-attention-shaped inputs, and (at most) a key-padding mask; it
+    has no attention-prob dropout."""
+    if tq != tk or tq % 128 != 0:
+        return False
+    if not deterministic and dropout_rate > 0:
+        return False
+    return mask is None or (mask.ndim == 3 and mask.shape[1] == 1)
+
+
+def _flash_attention(q, k, v, mask, dk: int):
+    """Fused blockwise attention (jax.experimental.pallas TPU kernel,
+    custom VJP): the [B, H, T, T] score tensor never reaches HBM.
+    Key-padding masks map to flash segment ids (pad=0, valid=1); pad
+    queries attend only pad keys, so no padding leaks into valid rows."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    seg = None
+    if mask is not None:
+        ids = mask[:, 0, :].astype(jnp.int32)  # [B, Tk], 1=valid
+        seg = SegmentIds(q=ids, kv=ids)
+    return flash_attention(
+        q, k, v, segment_ids=seg, sm_scale=1.0 / float(np.sqrt(dk))
+    )
+
+
 def multi_head_attention(
     params: dict,
     query: jnp.ndarray,
@@ -38,8 +68,15 @@ def multi_head_attention(
     dropout_rate: float = 0.0,
     rng=None,
     deterministic: bool = True,
+    impl: str = "xla",
 ) -> jnp.ndarray:
-    """query [B, Tq, D], key/value [B, Tk, D], mask [B, 1|Tq, Tk] True=valid."""
+    """query [B, Tq, D], key/value [B, Tk, D], mask [B, 1|Tq, Tk] True=valid.
+
+    `impl="flash"` routes eligible self-attention calls through the
+    fused Pallas TPU kernel (blockwise, no HBM score tensor); ineligible
+    shapes/masks fall back to the XLA path below. `impl="auto"` = flash
+    on TPU, XLA elsewhere.
+    """
     b, tq, d = query.shape
     tk = key.shape[1]
     dk = d // n_head
@@ -50,6 +87,16 @@ def multi_head_attention(
     q = heads(query, params["q"])  # [B, H, Tq, dk]
     k = heads(key, params["k"])
     v = heads(value, params["v"])
+
+    if impl == "auto":
+        import jax as _jax
+
+        impl = "flash" if _jax.default_backend() == "tpu" else "xla"
+    if impl == "flash" and _flash_eligible(tq, tk, mask, dropout_rate, deterministic):
+        ctx = _flash_attention(q, k, v, mask, dk)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, d)
+        return linear(params["out"], ctx)
+
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(dk))
     if mask is not None:
         m = mask[:, None, :, :] if mask.ndim == 3 else mask[:, None, None, :]

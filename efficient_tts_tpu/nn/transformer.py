@@ -94,6 +94,7 @@ def encoder_layer(
     dropout_rate: float = 0.0,
     rng=None,
     deterministic: bool = True,
+    attn_impl: str = "xla",
 ) -> jnp.ndarray:
     """One pre/post-norm self-attention + FF layer (`encoder_layer.py:12-83`)."""
     if rng is None:
@@ -105,6 +106,7 @@ def encoder_layer(
     h = multi_head_attention(
         params["self_attn"], h, h, h, n_head, mask=mask,
         dropout_rate=dropout_rate, rng=r1, deterministic=deterministic,
+        impl=attn_impl,
     )
     if not deterministic and dropout_rate > 0:
         h = dropout(r2, h, dropout_rate, deterministic=False)
@@ -156,6 +158,7 @@ def transformer_block(
     dropout_rate: float = 0.0,
     rng=None,
     deterministic: bool = True,
+    attn_impl: str = "xla",
 ) -> jnp.ndarray:
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -163,7 +166,7 @@ def transformer_block(
         rng, sub = jax.random.split(rng)
         x = encoder_layer(
             layer, x, n_head, mask, use_conv_ff, normalize_before,
-            dropout_rate, sub, deterministic,
+            dropout_rate, sub, deterministic, attn_impl,
         )
     if normalize_before:
         x = layer_norm(params["final_norm"], x)

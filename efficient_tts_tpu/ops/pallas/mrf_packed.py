@@ -116,6 +116,7 @@ def _mrf_packed_kernel(
     x_hbm,
     w_ref,
     scale_ref,
+    act_ref,
     bias_ref,
     out_ref,
     scratch,
@@ -127,6 +128,7 @@ def _mrf_packed_kernel(
     halo: int,
     m_total: int,
     int8: bool,
+    static_act: bool,
 ):
     i = pl.program_id(1)
     b = pl.program_id(0)
@@ -151,8 +153,13 @@ def _mrf_packed_kernel(
         kp, _, _ = plan[conv_idx]
         out_len = xt.shape[0] - kp + 1
         if int8:
-            s = jnp.max(jnp.abs(xt.astype(jnp.float32)))
-            s = jnp.maximum(s, 1e-12)
+            if static_act:
+                # calibrated per-conv activation scale: no absmax
+                # reduction on the hot path (verdict r1 item 10)
+                s = act_ref[conv_idx, 0]
+            else:
+                s = jnp.max(jnp.abs(xt.astype(jnp.float32)))
+                s = jnp.maximum(s, 1e-12)
             xq = jnp.clip(
                 jnp.round(xt.astype(jnp.float32) * (127.0 / s)), -127, 127
             ).astype(jnp.int8)
@@ -235,6 +242,7 @@ def mrf_stage_packed(
     t_tile: int = 1024,
     int8: bool = True,
     interpret: bool = False,
+    act_scales: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fused MRF stage on packed activations [B, M, 128].
 
@@ -256,6 +264,13 @@ def mrf_stage_packed(
         ((0, 0), (halo, halo + (m_pad - m)), (0, 0)),
     )
 
+    static_act = int8 and act_scales is not None
+    if act_scales is None:
+        act = jnp.zeros((len(plan), LANES), jnp.float32)
+    else:
+        act = jnp.broadcast_to(
+            jnp.asarray(act_scales, jnp.float32)[:, None], (len(plan), LANES)
+        )
     kernel = functools.partial(
         _mrf_packed_kernel,
         plan=tuple(plan),
@@ -264,12 +279,14 @@ def mrf_stage_packed(
         halo=halo,
         m_total=m,
         int8=int8,
+        static_act=static_act,
     )
     out = pl.pallas_call(
         kernel,
         grid=(b, m_pad // t_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -287,8 +304,40 @@ def mrf_stage_packed(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x_hbm, wp, scales.astype(jnp.float32), biases.astype(jnp.float32))
+    )(x_hbm, wp, scales.astype(jnp.float32), act, biases.astype(jnp.float32))
     return out[:, :m]
+
+
+def calibrate_act_scales(
+    x_packed, kernel_sizes, dilation_sizes, r, blocks, ch
+) -> jnp.ndarray:
+    """Per-conv activation absmax over a calibration batch -> [n_convs].
+
+    Runs the bf16 packed forward (XLA path) and records the absmax of
+    every conv's pre-activation input; pass the result to
+    `mrf_stage_packed(act_scales=...)` for static-scale W8A8 (no
+    reductions on the serving path)."""
+    from efficient_tts_tpu.models.hifigan import _mixed_conv1d, maybe_wn_kernel
+
+    plan, _ = stage_plan(kernel_sizes, dilation_sizes, r)
+    x = x_packed.astype(jnp.bfloat16)
+
+    def leaky(v):
+        return jnp.maximum(v, 0) + 0.1 * jnp.minimum(v, 0)
+
+    scales = []
+    for block, k, dils in zip(blocks, kernel_sizes, dilation_sizes):
+        x_b = x
+        for u, d in enumerate(dils):
+            xt = leaky(x_b)
+            scales.append(jnp.max(jnp.abs(xt.astype(jnp.float32))))
+            y = _mixed_conv1d(maybe_wn_kernel(block["convs1"][u]), xt, k, d, r, ch)
+            xt2 = leaky(y)
+            scales.append(jnp.max(jnp.abs(xt2.astype(jnp.float32))))
+            y2 = _mixed_conv1d(maybe_wn_kernel(block["convs2"][u]), xt2, k, 1, r, ch)
+            x_b = x_b + y2
+    assert len(scales) == len(plan)
+    return jnp.maximum(jnp.stack(scales), 1e-12)
 
 
 def mrf_stage_packed_reference(

@@ -22,6 +22,7 @@ import numpy as np
 
 from efficient_tts_tpu.models import hifigan as hg
 from efficient_tts_tpu.ops.pallas.mrf_packed import (
+    calibrate_act_scales,
     mrf_stage_packed,
     pack_stage_weights,
     quantize_weights,
@@ -92,6 +93,15 @@ def main():
             )
         ),
     }
+    # static-activation-scale W8A8 (verdict r1 item 10): calibrated
+    # per-conv scales, no absmax reduction on the hot path
+    act = calibrate_act_scales(x, KS, DILS, r, blocks, c)
+    fns["pallas int8-static"] = jax.jit(
+        lambda xx: mrf_stage_packed(
+            xx, wq, scales, biases, KS, DILS, r,
+            t_tile=args.t_tile, int8=True, act_scales=act,
+        )
+    )
     outs = {}
     for name, fn in fns.items():
         try:

@@ -156,22 +156,33 @@ def main():
     mel_loss = float(out["mel_loss"])
     print(f"\nheld-out mel MSE: {mel_loss:.4f}")
 
-    # per-class duration recovery from predicted linear-domain durations
+    # Duration semantics note (measured, reference-inherited): the aligned
+    # position e_i is a softmax-weighted mean of mel indices over token
+    # i's span — its CENTER, not its end — so per-token deltas are
+    # adjacent-pair averages of true durations (alternating 8,2 trains
+    # toward ~5,5 while boundaries and totals stay correct). The right
+    # calibration check is therefore center tracking: predicted e vs the
+    # true span centers.
     e_pred, value, tmask = efts.infer_durations(
         params, cfg, test["text"], test["text_lengths"]
     )
     e_pred = np.asarray(e_pred)
-    phone_durs, marker_durs = [], []
+    center_errs = []
     for b in range(4):
         t1 = int(test["text_lengths"][b])
-        e_utt = e_pred[b, :t1]
-        deltas = np.diff(np.concatenate([[0.0], e_utt]))
-        for k in range(t1):
-            tok = inv[int(test["text"][b, k])]
-            (phone_durs if is_phone(tok, inv) else marker_durs).append(deltas[k])
-    mp, mm = float(np.mean(phone_durs)), float(np.mean(marker_durs))
-    print(f"mean predicted duration: phones {mp:.2f} (true {PHONE_FRAMES}),"
-          f" tones/markers {mm:.2f} (true {MARKER_FRAMES})")
+        durs = np.array([
+            PHONE_FRAMES if is_phone(inv[int(t)], inv) else MARKER_FRAMES
+            for t in test["text"][b, :t1]
+        ], float)
+        ends = np.cumsum(durs)
+        centers = ends - durs / 2.0
+        # skip the last token (one-sided boundary truncation, see
+        # sanity_convergence.boundary_truncation_frames)
+        err = np.abs(e_pred[b, : t1 - 1] - centers[:-1]).mean()
+        center_errs.append(err)
+    center_err = float(np.mean(center_errs))
+    print(f"mean |predicted e - true token center|: {center_err:.2f} frames "
+          f"(tokens are {MARKER_FRAMES}-{PHONE_FRAMES} frames long)")
 
     # alignment monotonicity
     alpha = np.asarray(out["reconst_alpha"])
@@ -201,8 +212,7 @@ def main():
         mel_loss < 0.5
         and mono_ok >= 3
         and corr > 0.8
-        and abs(mp - PHONE_FRAMES) / PHONE_FRAMES < 0.25
-        and abs(mm - MARKER_FRAMES) / MARKER_FRAMES < 0.5
+        and center_err < 2.5
     )
     print("SANITY (mandarin):", "PASS" if ok else "FAIL")
     return 0 if ok else 1

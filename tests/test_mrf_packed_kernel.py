@@ -149,3 +149,26 @@ def test_int8_quantization_error_bounded(setup):
         np.mean(exact**2)
     )
     assert rel_rms < 0.05, rel_rms
+
+
+def test_int8_static_act_scales_match_exact(setup):
+    """Static calibrated activation scales (verdict r1 item 10): on data
+    drawn from the calibration distribution the static-scale W8A8 output
+    must stay within the same quantization-noise bound as dynamic
+    scales."""
+    from efficient_tts_tpu.ops.pallas.mrf_packed import calibrate_act_scales
+
+    blocks, wp, wq, scales, biases, x = setup
+    act = calibrate_act_scales(x, KS, DILS, R, blocks, C)
+    assert act.shape == (18,) and bool(jnp.all(act > 0))
+    out = np.asarray(
+        mrf_stage_packed(
+            x, wq, scales, biases, KS, DILS, R,
+            t_tile=96, int8=True, interpret=True, act_scales=act,
+        ).astype(jnp.float32)
+    )
+    exact = _exact(blocks, x)
+    rel_rms = np.sqrt(np.mean((out - exact) ** 2)) / np.sqrt(
+        np.mean(exact**2)
+    )
+    assert rel_rms < 0.05, rel_rms
