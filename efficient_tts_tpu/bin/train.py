@@ -35,7 +35,23 @@ def get_parser():
                    help="multi-host: coordinator address host:port")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   dest="overrides",
+                   help="override a top-level config key (YAML-parsed "
+                   "value; repeatable) — the argv-merge analog of the "
+                   "reference's train.py:94-96")
     return p
+
+
+def apply_overrides(config: dict, overrides: list) -> dict:
+    import yaml
+
+    for item in overrides:
+        key, _, value = item.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects KEY=VALUE, got {item!r}")
+        config[key] = yaml.safe_load(value)
+    return config
 
 
 def main(argv=None):
@@ -68,7 +84,7 @@ def main(argv=None):
         optimizer_from_dict,
     )
 
-    config = load_config(args.config)
+    config = apply_overrides(load_config(args.config), args.overrides)
     dump_config(config, args.outdir)
 
     cfg = model_config_from_dict(config)

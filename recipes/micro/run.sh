@@ -1,0 +1,68 @@
+#!/usr/bin/env bash
+# Real-audio micro-corpus recipe: the full capability loop on the ~200 s
+# of real 22.05 kHz speech the reference commits as golden samples
+# (round-1 verdict item 1 — LJSpeech itself is not obtainable here).
+#
+# Stages: 0 corpus build -> 1 EFTS-CNN training -> 2 HiFi-GAN training
+# -> 3 synthesis through the production CLI -> 4 golden comparison vs
+# the reference's committed 320k-step wavs (MCD/mel-SD/duration error).
+#
+# Usage (repo root is two levels up): ./run.sh --stage 0 --stop_stage 4
+set -euo pipefail
+
+stage=0
+stop_stage=4
+root=../..
+corpus=${root}/exp/micro_corpus
+expdir=${root}/exp/micro_efts
+vocdir=${root}/exp/micro_hifigan
+efts_steps=20000
+voc_steps=4000
+
+. ../cmd.sh
+. ../parse_options.sh
+
+cd ${root}
+
+if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
+    echo "=== stage 0: micro-corpus build ==="
+    ${cmd} python scripts/make_micro_corpus.py --out exp/micro_corpus
+fi
+
+if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
+    echo "=== stage 1: EFTS-CNN training (${efts_steps} steps) ==="
+    ${cmd} python -m efficient_tts_tpu.bin.train \
+        --config exp/micro_corpus/micro_lj.yaml \
+        --train_fid_scp exp/micro_corpus/train_filelist.txt \
+        --dev_fid_scp exp/micro_corpus/dev_filelist.txt \
+        --outdir exp/micro_efts \
+        --set train_max_steps=${efts_steps}
+fi
+
+if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
+    echo "=== stage 2: HiFi-GAN vocoder training (${voc_steps} steps) ==="
+    ls exp/micro_corpus/wavs/*.wav > exp/micro_corpus/train_wavs.txt
+    ${cmd} python -m efficient_tts_tpu.bin.train_vocoder \
+        --wav_scp exp/micro_corpus/train_wavs.txt \
+        --outdir exp/micro_hifigan \
+        --batch_size 16 --compute_dtype bfloat16 \
+        --train_max_steps ${voc_steps} --ema_decay 0.999
+fi
+
+if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
+    echo "=== stage 3: synthesis ==="
+    last_ckpt=$(ls -d exp/micro_efts/checkpoint-*steps | sort -t- -k2 -n | tail -1)
+    last_voc=$(ls -d exp/micro_hifigan/checkpoint-*steps | sort -t- -k2 -n | tail -1)
+    ${cmd} python -m efficient_tts_tpu.bin.inference \
+        --test_fid_scp exp/micro_corpus/dev_filelist.txt \
+        --checkpoint ${last_ckpt} \
+        --vocoder_checkpoint ${last_voc} \
+        --outdir exp/micro_efts/generated
+fi
+
+if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
+    echo "=== stage 4: golden comparison ==="
+    ${cmd} python scripts/golden_compare.py \
+        --hyp_dir exp/micro_efts/generated \
+        --json_out exp/micro_efts/golden.json
+fi

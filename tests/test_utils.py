@@ -133,3 +133,19 @@ def test_data_utils_split_combine_subset(tmp_path):
     # error paths return nonzero
     assert main(["split", str(src), str(a), str(b), "--num_first", "11"]) == 1
     assert main(["subset", str(src), "0", str(sub)]) == 1
+
+
+def test_train_cli_config_overrides():
+    """--set KEY=VALUE merges YAML-parsed values into the config
+    (reference argv-merge parity, train.py:94-96)."""
+    from efficient_tts_tpu.bin.train import apply_overrides
+
+    cfg = {"train_max_steps": 100, "batch_size": 8}
+    out = apply_overrides(cfg, ["train_max_steps=20000", "mesh={data: 2}"])
+    assert out["train_max_steps"] == 20000
+    assert out["mesh"] == {"data": 2}
+    assert out["batch_size"] == 8
+    import pytest
+
+    with pytest.raises(SystemExit):
+        apply_overrides(cfg, ["notakeyvalue"])
