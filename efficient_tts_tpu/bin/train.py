@@ -175,7 +175,9 @@ def main(argv=None):
             trainer.load(latest, load_only_params=False)
 
     trainer.run()
-    trainer.save()
+    # final save must be durable before main() returns (interval saves
+    # during the run are async and overlap training)
+    trainer.save(wait=True)
 
 
 if __name__ == "__main__":

@@ -130,7 +130,9 @@ def main(argv=None):
         if latest:
             trainer.load(latest)
     trainer.run()
-    trainer.save()
+    # final save must be durable before main() returns (interval saves
+    # during the run are async and overlap training)
+    trainer.save(wait=True)
 
 
 if __name__ == "__main__":

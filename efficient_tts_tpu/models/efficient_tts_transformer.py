@@ -235,6 +235,7 @@ def infer_decode(params, cfg, text_value, e, text_mask, t2: int, compute_dtype=N
         "bst,bsc->btc", alpha, value, preferred_element_type=jnp.float32
     ).astype(value.dtype)
     dec = transformer_block(
-        params["decoder"], expanded, cfg.n_heads, use_conv_ff=cfg.use_conv_ff
+        params["decoder"], expanded, cfg.n_heads, use_conv_ff=cfg.use_conv_ff,
+        attn_impl=cfg.attn_impl,
     )
     return linear(params["mel_out"], dec).astype(jnp.float32), reconst_alpha

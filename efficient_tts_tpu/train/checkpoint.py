@@ -10,23 +10,47 @@ onto the current mesh).
 
 from __future__ import annotations
 
+import atexit
 import os
 
 import jax
 import orbax.checkpoint as ocp
 
+_CKPTR: ocp.StandardCheckpointer | None = None
+
 
 def _checkpointer():
-    return ocp.StandardCheckpointer()
+    """One long-lived AsyncCheckpointer for the process: lets saves
+    overlap training (orbax copies device->host synchronously, then
+    writes to disk in the background — on this class of disk a full GAN
+    state is minutes of write time that should not block steps)."""
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+        atexit.register(wait_for_saves)  # never lose the last async save
+    return _CKPTR
 
 
-def save_checkpoint(outdir: str, state: dict, step: int | None = None) -> str:
+def wait_for_saves() -> None:
+    """Block until every outstanding async save has committed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(
+    outdir: str, state: dict, step: int | None = None, wait: bool = True
+) -> str:
+    """`wait=False` returns as soon as the device->host snapshot is
+    taken; the disk write completes in the background (serialized with
+    any previous in-flight save). Call `wait_for_saves()` (or let the
+    atexit hook) before reading the path back."""
     if step is None:
         step = int(jax.device_get(state["step"]))
     path = os.path.join(os.path.abspath(outdir), f"checkpoint-{step}steps")
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     return path
 
 
@@ -38,6 +62,7 @@ def load_checkpoint(path: str, template_state: dict, load_only_params: bool = Fa
     structure need not match the current one) and optimizer state/step
     come fresh from the template.
     """
+    wait_for_saves()  # a just-written async checkpoint must be committed
     ckptr = _checkpointer()
     if load_only_params:
         restored = ckptr.restore(os.path.abspath(path))

@@ -81,10 +81,15 @@ class EftsTrainer:
         else:
             self.state = create_state(params, self.tx)
 
-    def save(self):
-        path = ckpt.save_checkpoint(self.outdir, self.state)
-        log.info("saved checkpoint %s", path)
-        ckpt.prune_checkpoints(self.outdir, self.max_keep_checkpoints)
+    def save(self, wait: bool = False):
+        # async: the device->host snapshot happens before return, the
+        # disk write overlaps subsequent training steps; pruning only
+        # runs under a retention policy, which must wait for the commit
+        path = ckpt.save_checkpoint(self.outdir, self.state, wait=wait)
+        log.info("saving checkpoint %s (async)", path)
+        if self.max_keep_checkpoints:
+            ckpt.wait_for_saves()
+            ckpt.prune_checkpoints(self.outdir, self.max_keep_checkpoints)
         return path
 
     def load(self, path, load_only_params=False):
@@ -144,7 +149,7 @@ class EftsTrainer:
                     self.save()
         except KeyboardInterrupt:
             # graceful interrupt checkpoint (reference train.py:250-253)
-            self.save()
+            self.save(wait=True)
             raise
         return self.state
 
@@ -160,7 +165,7 @@ class EftsTrainer:
             return
         log.error("non-finite loss %r at step %d: checkpointing and aborting",
                   loss_val, step)
-        self.save()
+        self.save(wait=True)
         raise FloatingPointError(
             f"training diverged: loss={loss_val} at step {step}"
         )

@@ -56,10 +56,14 @@ class HiFiGANTrainer:
         self.max_keep_checkpoints = max_keep_checkpoints
         os.makedirs(outdir, exist_ok=True)
 
-    def save(self):
-        path = ckpt.save_checkpoint(self.outdir, self.state)
-        log.info("saved vocoder checkpoint %s", path)
-        ckpt.prune_checkpoints(self.outdir, self.max_keep_checkpoints)
+    def save(self, wait: bool = False):
+        # async write (see efts_trainer.save): a full GAN state is
+        # ~800 MB — minutes of disk time that must not block the loop
+        path = ckpt.save_checkpoint(self.outdir, self.state, wait=wait)
+        log.info("saving vocoder checkpoint %s (async)", path)
+        if self.max_keep_checkpoints:
+            ckpt.wait_for_saves()
+            ckpt.prune_checkpoints(self.outdir, self.max_keep_checkpoints)
         return path
 
     def load(self, path):
@@ -117,7 +121,7 @@ class HiFiGANTrainer:
                             "non-finite %s=%r at step %d: checkpointing "
                             "and aborting (divergence guard)", k, val, step,
                         )
-                        self.save()
+                        self.save(wait=True)
                         raise FloatingPointError(
                             f"GAN training diverged: {k}={val} at step {step}"
                         )
@@ -145,7 +149,7 @@ class HiFiGANTrainer:
                 if step % self.save_interval_steps == 0:
                     self.save()
         except KeyboardInterrupt:
-            self.save()
+            self.save(wait=True)
             raise
         return self.state
 

@@ -48,6 +48,7 @@ dataset_params:
   wav_path: "{wav_dir}"
   use_phnseq: true
   phnset_path: "{phnset}"
+  mel_cache_dir: "{mel_cache}"   # 2-CPU host: never recompute mels
 
 model_name: "EfficientTTSCNN"
 model_params:
@@ -126,7 +127,11 @@ def main():
     with open(os.path.join(args.out, "dev_filelist.txt"), "w") as f:
         f.write("\n".join(dev_lines) + "\n")
     with open(os.path.join(args.out, "micro_lj.yaml"), "w") as f:
-        f.write(CONFIG.format(wav_dir=os.path.abspath(wav_dir), phnset=PHNSET))
+        f.write(CONFIG.format(
+            wav_dir=os.path.abspath(wav_dir),
+            phnset=PHNSET,
+            mel_cache=os.path.abspath(os.path.join(args.out, "mel_cache")),
+        ))
     print(
         f"micro corpus at {args.out}: {len(train_lines)} train / "
         f"{len(dev_lines)} dev utterances"
