@@ -131,9 +131,20 @@ def main(argv=None):
     eval_batches = []
     if args.dev_fid_scp:
         dev_ds = TextMelDataset(args.dev_fid_scp, **ds_params)
+        # a dev set smaller than the train batch must still yield one
+        # eval batch (drop_last would silently disable eval); keep the
+        # batch a multiple of the mesh data extent for sharded eval
+        de = mesh.shape["data"]
+        eval_bs = min(per_host_batch, max(len(dev_ds), 1))
+        eval_bs = max((eval_bs // de) * de, de)
         eval_batches = list(
-            data_loader(dev_ds, per_host_batch, collate, shuffle=False)
+            data_loader(dev_ds, eval_bs, collate, shuffle=False)
         )[:8]
+        if not eval_batches:
+            logging.warning(
+                "dev set (%d utts) yields no eval batch at batch size %d",
+                len(dev_ds), eval_bs,
+            )
 
     writer = None
     try:
