@@ -187,9 +187,31 @@ class EftsTrainer:
                 totals[k] += float(jax.device_get(out[k]))
         n = max(len(self.eval_batches), 1)
         means = {k: v / n for k, v in totals.items()}
+        # alignment-health diagnostic: mean per-frame peak of the
+        # reconstructed alignment. Healthy monotonic alignments approach
+        # 1.0; uniform (collapsed) attention sits at ~1/T1 — the
+        # predict-the-average fixed point observed at too-fast warmup.
+        peak = 0.0
+        if first_out is not None and first_batch is not None:
+            a = first_out["reconst_alpha"]
+            tl = np.asarray(first_batch["text_lengths"])
+            ml = np.asarray(first_batch["mel_lengths"])
+            peaks = [
+                a[i, : tl[i], : ml[i]].max(axis=0).mean()
+                for i in range(min(4, a.shape[0]))
+            ]
+            peak = float(np.mean(peaks))
+            means["align_peak"] = peak
+            if peak < 2.5 / max(float(tl.max()), 1.0):
+                log.warning(
+                    "alignment looks collapsed (mean peak %.4f ~ uniform "
+                    "1/T1=%.4f): consider a longer warmup or larger batch",
+                    peak, 1.0 / max(float(tl.max()), 1.0),
+                )
         log.info(
-            "eval step %d: loss=%.4f mel=%.4f dur=%.4f",
+            "eval step %d: loss=%.4f mel=%.4f dur=%.4f align_peak=%.3f",
             step, means["loss"], means["mel_loss"], means["duration_loss"],
+            peak,
         )
         if self.writer is not None:
             for k, v in means.items():

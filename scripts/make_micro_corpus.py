@@ -57,7 +57,11 @@ model_params:
   use_masking: true
   sigma: 0.01
 
-batch_size: 16
+# B=30 = the whole corpus per step (alignment discovery needs the
+# gradient averaging the reference gets from B=128; B=16 with a fast
+# warmup collapses to the predict-the-average fixed point — uniform
+# attention, imv == 0 — measured at 5k steps)
+batch_size: 30
 text_bucket: 16
 mel_bucket: 64
 
@@ -71,7 +75,7 @@ optimizer_params:
 grad_norm: 1.0
 scheduler_type: "WarmupLR"
 scheduler_params:
-  warmup_steps: 1000
+  warmup_steps: 4000   # reference value; a 1000-step ramp collapses alignment
 
 mesh:
   data: null
