@@ -106,12 +106,48 @@ class EftsTrainer:
         with convert_sigterm():
             return self._run()
 
+    _METRIC_KEYS = ("loss", "mel_loss", "duration_loss")
+
     def _run(self):
         assert self.state is not None, "call init_state first"
+        import jax.numpy as jnp
+
+        # One packed [3] vector per step instead of three scalar fetches:
+        # over a remote-device tunnel each device_get is a full RTT, which
+        # at TTS step times (~tens of ms) dominates the loop. The fetch is
+        # additionally delayed by one step (consumed after the NEXT step
+        # is dispatched) so the RTT overlaps device compute.
+        pack = jax.jit(lambda m: jnp.stack([m[k] for k in self._METRIC_KEYS]))
         totals = defaultdict(float)
         count = 0
         t_last = time.time()
         step = int(jax.device_get(self.state["step"]))
+        first_step = True
+        pending = None  # (step, epoch, packed-metrics) awaiting host fetch
+
+        def consume(p):
+            nonlocal count, t_last
+            pstep, pepoch, packed = p
+            vals = np.asarray(jax.device_get(packed))
+            count += 1
+            self._check_finite(float(vals[0]), pstep)
+            for k, v in zip(self._METRIC_KEYS, vals):
+                totals[k] += float(v)
+            if pstep % self.log_interval_steps == 0:
+                dt = time.time() - t_last
+                means = {k: v / max(count, 1) for k, v in totals.items()}
+                log.info(
+                    "step %d (epoch %d): loss=%.4f mel=%.4f dur=%.4f (%.1f steps/s)",
+                    pstep, pepoch, means["loss"], means["mel_loss"],
+                    means["duration_loss"], count / max(dt, 1e-9),
+                )
+                if self.writer is not None:
+                    for k, v in means.items():
+                        self.writer.add_scalar(f"train/{k}", v, pstep)
+                totals.clear()
+                count = 0
+                t_last = time.time()
+
         try:
             while step < self.train_max_steps:
                 epoch, batch = next(self.train_iter)
@@ -120,33 +156,28 @@ class EftsTrainer:
                 self.rng, sub = jax.random.split(self.rng)
                 self.state, metrics = self._train_step(self.state, batch, sub)
                 step += 1
-                count += 1
-                loss_val = float(jax.device_get(metrics["loss"]))
-                self._check_finite(loss_val, step)
-                totals["loss"] += loss_val
-                for k in ("mel_loss", "duration_loss"):
-                    totals[k] += float(jax.device_get(metrics[k]))
-
-                if step % self.log_interval_steps == 0:
-                    dt = time.time() - t_last
-                    means = {k: v / max(count, 1) for k, v in totals.items()}
-                    log.info(
-                        "step %d (epoch %d): loss=%.4f mel=%.4f dur=%.4f (%.1f steps/s)",
-                        step, epoch, means["loss"], means["mel_loss"],
-                        means["duration_loss"], count / max(dt, 1e-9),
-                    )
-                    if self.writer is not None:
-                        for k, v in means.items():
-                            self.writer.add_scalar(f"train/{k}", v, step)
-                    totals.clear()
-                    count = 0
-                    t_last = time.time()
+                packed = pack(metrics)
+                if first_step:
+                    # First host sync = jit trace + (possibly remote) XLA
+                    # compile + step; log it so a long compile is
+                    # distinguishable from a hang during silent startup.
+                    loss_val = float(jax.device_get(metrics["loss"]))
+                    log.info("first step done in %.1fs (includes train-step "
+                             "compile); loss=%.4f", time.time() - t_last,
+                             loss_val)
+                    first_step = False
+                if pending is not None:
+                    consume(pending)
+                pending = (step, epoch, packed)
 
                 if self.eval_batches and step % self.eval_interval_steps == 0:
                     self.evaluate(step)
 
                 if step % self.save_interval_steps == 0:
                     self.save()
+            if pending is not None:
+                consume(pending)
+                pending = None
         except KeyboardInterrupt:
             # graceful interrupt checkpoint (reference train.py:250-253)
             self.save(wait=True)
@@ -157,8 +188,10 @@ class EftsTrainer:
         """Divergence guard (absent upstream): a non-finite loss saves an
         emergency checkpoint of the last finite state and aborts with a
         clear error instead of silently training on NaNs for the rest of
-        a long unattended run. The saved state is the *post-update* one;
-        resume from the previous interval checkpoint with a lower lr."""
+        a long unattended run. Metrics are consumed one step late (see
+        `_run`), so the saved state is one-to-two updates past the
+        divergent one; resume from the previous interval checkpoint with
+        a lower lr."""
         import math
 
         if math.isfinite(loss_val):

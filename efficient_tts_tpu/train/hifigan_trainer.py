@@ -100,10 +100,53 @@ class HiFiGANTrainer:
             return self._run()
 
     def _run(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        # Packed single-array metric fetch, consumed one step late so the
+        # (possibly remote-tunnel) device->host RTT overlaps the next
+        # step's compute — mirrors EftsTrainer._run.
+        keys = None
+        pack = jax.jit(lambda m, ks: jnp.stack([m[k] for k in ks]),
+                       static_argnums=1)
         totals = defaultdict(float)
         count = 0
         t_last = time.time()
         step = int(jax.device_get(self.state["step"]))
+        first_step = True
+        pending = None  # (step, packed-metrics)
+
+        def consume(p):
+            nonlocal count, t_last
+            pstep, packed = p
+            vals = np.asarray(jax.device_get(packed))
+            count += 1
+            for k, val in zip(keys, (float(v) for v in vals)):
+                if k in ("g_loss", "d_loss") and not math.isfinite(val):
+                    log.error(
+                        "non-finite %s=%r at step %d: checkpointing "
+                        "and aborting (divergence guard)", k, val, pstep,
+                    )
+                    self.save(wait=True)
+                    raise FloatingPointError(
+                        f"GAN training diverged: {k}={val} at step {pstep}"
+                    )
+                totals[k] += val
+            if pstep % self.log_interval_steps == 0:
+                dt = time.time() - t_last
+                means = {k: v / count for k, v in totals.items()}
+                log.info(
+                    "step %d: g=%.3f d=%.3f mel_l1=%.3f (%.2f steps/s)",
+                    pstep, means.get("g_loss", 0), means.get("d_loss", 0),
+                    means.get("mel_l1", 0), count / max(dt, 1e-9),
+                )
+                if self.writer is not None:
+                    for k, v in means.items():
+                        self.writer.add_scalar(f"vocoder/{k}", v, pstep)
+                totals.clear()
+                count = 0
+                t_last = time.time()
+
         try:
             while step < self.train_max_steps:
                 _, batch = next(self.train_iter)
@@ -113,33 +156,19 @@ class HiFiGANTrainer:
                     batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self.train_step(self.state, batch)
                 step += 1
-                count += 1
-                for k, v in metrics.items():
-                    val = float(jax.device_get(v))
-                    if k in ("g_loss", "d_loss") and not math.isfinite(val):
-                        log.error(
-                            "non-finite %s=%r at step %d: checkpointing "
-                            "and aborting (divergence guard)", k, val, step,
-                        )
-                        self.save(wait=True)
-                        raise FloatingPointError(
-                            f"GAN training diverged: {k}={val} at step {step}"
-                        )
-                    totals[k] += val
-                if step % self.log_interval_steps == 0:
-                    dt = time.time() - t_last
-                    means = {k: v / count for k, v in totals.items()}
-                    log.info(
-                        "step %d: g=%.3f d=%.3f mel_l1=%.3f (%.2f steps/s)",
-                        step, means.get("g_loss", 0), means.get("d_loss", 0),
-                        means.get("mel_l1", 0), count / max(dt, 1e-9),
-                    )
-                    if self.writer is not None:
-                        for k, v in means.items():
-                            self.writer.add_scalar(f"vocoder/{k}", v, step)
-                    totals.clear()
-                    count = 0
-                    t_last = time.time()
+                if keys is None:
+                    keys = tuple(sorted(metrics))
+                packed = pack(metrics, keys)
+                if first_step:
+                    jax.block_until_ready(packed)
+                    # distinguishes a long (possibly remote) GAN-step
+                    # compile from a hang during silent startup
+                    log.info("first step done in %.1fs (includes train-step "
+                             "compile)", time.time() - t_last)
+                    first_step = False
+                if pending is not None:
+                    consume(pending)
+                pending = (step, packed)
                 if (
                     self.eval_step is not None
                     and self.eval_batches
@@ -148,6 +177,9 @@ class HiFiGANTrainer:
                     self.evaluate(step)
                 if step % self.save_interval_steps == 0:
                     self.save()
+            if pending is not None:
+                consume(pending)
+                pending = None
         except KeyboardInterrupt:
             self.save(wait=True)
             raise

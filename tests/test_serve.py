@@ -91,11 +91,16 @@ def test_dynamic_batcher_coalesces():
     calls = []
 
     class FakeEngine:
+        # batcher contract: per-request encode (so a bad text fails only
+        # its own future) + batched synthesize_ids (serve.py:340-360)
         max_batch = 8
 
-        def synthesize(self, texts):
-            calls.append(list(texts))
-            return [np.full((len(t),), 0.5, np.float32) for t in texts]
+        def encode(self, text):
+            return np.arange(len(text))
+
+        def synthesize_ids(self, seqs):
+            calls.append(list(seqs))
+            return [np.full((len(s),), 0.5, np.float32) for s in seqs]
 
     b = DynamicBatcher(FakeEngine(), max_wait_ms=200.0)
     futs = [b.submit(t) for t in ["aa", "bbb", "c", "dddd"]]
@@ -113,7 +118,10 @@ def test_dynamic_batcher_propagates_errors():
     class Boom:
         max_batch = 4
 
-        def synthesize(self, texts):
+        def encode(self, text):
+            return np.arange(1)
+
+        def synthesize_ids(self, seqs):
             raise RuntimeError("kaput")
 
     b = DynamicBatcher(Boom(), max_wait_ms=1.0)
