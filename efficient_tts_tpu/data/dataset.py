@@ -67,6 +67,7 @@ class TextMelDataset:
         phnset_path: str | None = None,
         mel_config: MelConfig = MelConfig(),
         mel_cache_dir: str | None = None,
+        mel_memory_cache_mb: float = 0.0,
         seed: int = 1234,
     ):
         self.items = load_filepaths_and_text(meta_file)
@@ -87,6 +88,15 @@ class TextMelDataset:
         rnd.shuffle(self.items)
         if mel_cache_dir:
             os.makedirs(mel_cache_dir, exist_ok=True)
+        # Optional bounded in-memory mel cache: on small-corpus /
+        # overfit runs an epoch is a handful of batches, so the epoch
+        # loop otherwise re-reads (or re-extracts) every mel each epoch
+        # on the host's critical path. First-come-first-kept up to the
+        # byte budget; 0 disables (the default — LJ-scale mels at full
+        # residency would be ~GBs).
+        self._mem_budget = int(mel_memory_cache_mb * (1 << 20))
+        self._mem_cache: dict = {}
+        self._mem_bytes = 0
 
     def __len__(self) -> int:
         return len(self.items)
@@ -106,12 +116,15 @@ class TextMelDataset:
     def get_mel(self, audiopath: str) -> np.ndarray:
         """[T2, num_mels] log-mel (channels-last for the device path)."""
         path = self._resolve_wav(audiopath)
+        mem = self._mem_cache.get(path)
+        if mem is not None:
+            return mem
         cache = None
         if self.mel_cache_dir:
             base = os.path.splitext(os.path.basename(path))[0]
             cache = os.path.join(self.mel_cache_dir, base + ".mel.npy")
             if os.path.exists(cache):
-                return np.load(cache)
+                return self._mem_put(path, np.load(cache))
         from efficient_tts_tpu import native
 
         decoded = native.decode_wav(path)
@@ -129,6 +142,12 @@ class TextMelDataset:
             mel = mel_spectrogram_np(audio, self.mel_config).T
         if cache:
             np.save(cache, mel)
+        return self._mem_put(path, mel)
+
+    def _mem_put(self, path: str, mel: np.ndarray) -> np.ndarray:
+        if self._mem_bytes + mel.nbytes <= self._mem_budget:
+            self._mem_cache[path] = mel
+            self._mem_bytes += mel.nbytes
         return mel
 
     def approx_length(self, index: int) -> float:

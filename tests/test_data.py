@@ -73,6 +73,39 @@ def test_dataset_mel_cache(corpus, tmp_path):
     np.testing.assert_array_equal(mel1, mel2)
 
 
+def test_dataset_mel_memory_cache(corpus):
+    ds = TextMelDataset(
+        corpus["filelist"],
+        wav_path=corpus["wavdir"],
+        use_phnseq=True,
+        phnset_path=corpus["phnset"],
+        mel_memory_cache_mb=64.0,
+    )
+    _, mel1 = ds[0]
+    assert len(ds._mem_cache) == 1 and ds._mem_bytes == mel1.nbytes
+    _, mel2 = ds[0]
+    assert mel2 is mel1  # served from memory, no re-extraction
+    # budget respected: a tiny budget keeps nothing
+    tiny = TextMelDataset(
+        corpus["filelist"],
+        wav_path=corpus["wavdir"],
+        use_phnseq=True,
+        phnset_path=corpus["phnset"],
+        mel_memory_cache_mb=1e-6,
+    )
+    tiny[0]
+    assert not tiny._mem_cache
+    # default is off
+    off = TextMelDataset(
+        corpus["filelist"],
+        wav_path=corpus["wavdir"],
+        use_phnseq=True,
+        phnset_path=corpus["phnset"],
+    )
+    off[0]
+    assert not off._mem_cache
+
+
 def test_collate_bucketing(corpus):
     ds = TextMelDataset(
         corpus["filelist"],
