@@ -49,6 +49,7 @@ dataset_params:
   use_phnseq: true
   phnset_path: "{phnset}"
   mel_cache_dir: "{mel_cache}"   # 2-CPU host: never recompute mels
+  mel_memory_cache_mb: 64        # whole corpus resident: one epoch = one batch
 
 model_name: "EfficientTTSCNN"
 model_params:
