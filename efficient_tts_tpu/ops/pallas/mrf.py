@@ -5,9 +5,13 @@ production path. Measured on v5e: 36 ms vs 7.4 ms for the XLA
 space-to-depth packed lowering (`models/hifigan.py:_resblock1_packed`) on
 the 32-channel stage -- Mosaic cannot concatenate misaligned row slices
 nor store them to sub-128-lane offsets efficiently, so the im2col here
-degrades to per-tap K=C matmuls (1/16 MXU utilization). Kept as the
-scaffold for a future Mosaic-friendly layout; `generator()` defaults to
-the packed XLA path.
+degrades to per-tap K=C matmuls (1/16 MXU utilization). FROZEN as of
+round 2: the Mosaic-friendly successor exists (`mrf_packed.py` -- packed
+space-to-depth layout inside the kernel; wins stage 3 standalone and is
+in the measured serving table), so this layout will not be iterated
+further. The file stays only as the exactness-tested record of WHY the
+naive im2col layout loses on Mosaic; `generator()` defaults to the
+packed XLA path.
 
 The late HiFi-GAN stages (64/32 channels over 10^5-sample sequences,
 `hifigan_model.py:110-131`) are the synthesis hot spot: 18 dilated convs
