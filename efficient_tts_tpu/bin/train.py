@@ -167,6 +167,7 @@ def main(argv=None):
         log_interval_steps=int(config.get("log_interval_steps", 1000)),
         writer=writer,
         max_keep_checkpoints=config.get("max_keep_checkpoints"),
+        accum_steps=int(config.get("accum_steps", 1)),
     )
     from efficient_tts_tpu.models import model_module_for
 

@@ -25,6 +25,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh=None,
     sequence_parallel: bool = False,
+    accum_steps: int = 1,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -34,6 +35,18 @@ def make_train_step(
     along T2, inserting the collectives — useful when very long
     utterances make the quadratic alignment tensors the memory bound
     (SURVEY.md §5 long-context strategy).
+
+    `accum_steps > 1` runs gradient accumulation: the batch (leading dim
+    divisible by `accum_steps`) is split into micro-batches swept by a
+    `lax.scan` — one resident micro-batch of activations at a time, one
+    optimizer update per call. This buys the large EFFECTIVE batch that
+    unsupervised alignment discovery needs (micro-corpus study: B=16
+    collapses to uniform attention where the reference's B=128 trains;
+    `scripts/make_micro_corpus.py`) without the [B, T1, T2] alignment
+    tensors of the full batch ever co-residing in HBM. Gradients are
+    averaged across micro-batches; like every masked-loss accumulation
+    this equals the full-batch gradient exactly only when micro-batches
+    have equal valid-element counts (standard accumulation semantics).
     """
     sp_sharding = None
     if sequence_parallel:
@@ -64,21 +77,69 @@ def make_train_step(
         )
         return out["loss"], out
 
-    @jax.jit
-    def train_step(state, batch, rng):
+    def grads_and_metrics(params, batch, rng):
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], batch, rng
+            params, batch, rng
         )
-        new_state = apply_updates(state, grads, tx)
         metrics = {
             "loss": loss,
             "mel_loss": out["mel_loss"],
             "duration_loss": out["duration_loss"],
-            "grad_norm": optax.global_norm(grads),
         }
+        return grads, metrics
+
+    if accum_steps <= 1:
+
+        @jax.jit
+        def train_step(state, batch, rng):
+            grads, metrics = grads_and_metrics(state["params"], batch, rng)
+            new_state = apply_updates(state, grads, tx)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+
+        return train_step
+
+    @jax.jit
+    def train_step_accum(state, batch, rng):
+        def split(x):
+            assert x.shape[0] % accum_steps == 0, (
+                f"batch dim {x.shape[0]} not divisible by "
+                f"accum_steps={accum_steps}"
+            )
+            return x.reshape(accum_steps, x.shape[0] // accum_steps,
+                             *x.shape[1:])
+
+        micro = jax.tree.map(split, batch)
+        rngs = jax.random.split(rng, accum_steps)
+        params = state["params"]
+
+        def body(carry, xs):
+            grads_acc, metrics_acc = carry
+            mb, r = xs
+            grads, metrics = grads_and_metrics(params, mb, r)
+            grads_acc = jax.tree.map(lambda a, b: a + b, grads_acc, grads)
+            metrics_acc = jax.tree.map(lambda a, b: a + b, metrics_acc, metrics)
+            return (grads_acc, metrics_acc), None
+
+        import jax.numpy as jnp
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        zero_metrics = {
+            "loss": jnp.zeros(()),
+            "mel_loss": jnp.zeros(()),
+            "duration_loss": jnp.zeros(()),
+        }
+        (grads, metrics), _ = jax.lax.scan(
+            body, (zero_grads, zero_metrics), (micro, rngs)
+        )
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        metrics = {k: v * inv for k, v in metrics.items()}
+        new_state = apply_updates(state, grads, tx)
+        metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    return train_step
+    return train_step_accum
 
 
 def make_eval_step(cfg: EftsCNNConfig):

@@ -54,6 +54,7 @@ class EftsTrainer:
         seed: int = 0,
         writer=None,
         max_keep_checkpoints: int | None = None,
+        accum_steps: int = 1,
     ):
         self.cfg = cfg
         self.tx = tx
@@ -69,7 +70,7 @@ class EftsTrainer:
         self.writer = writer
         self.max_keep_checkpoints = max_keep_checkpoints
         self.state = None
-        self._train_step = make_train_step(cfg, tx)
+        self._train_step = make_train_step(cfg, tx, accum_steps=accum_steps)
         self._eval_step = make_eval_step(cfg)
         os.makedirs(outdir, exist_ok=True)
 

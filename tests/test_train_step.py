@@ -131,3 +131,38 @@ def test_warmup_schedule_matches_reference_formula():
     step = 12345 + 1
     expected = 1e-3 * 4000**0.5 * min(step**-0.5, step * 4000**-1.5)
     assert abs(float(sched(12345)) - expected) / expected < 1e-5
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=4 sweeps micro-batches with lax.scan and must produce
+    the same update as the monolithic step when micro-batches are
+    balanced (equal valid-element counts; full-length rows here)."""
+    tx = adam_warmup(lr=1e-3, warmup_steps=10, grad_clip_norm=1.0)
+    params = efts.init(jax.random.PRNGKey(0), CFG)
+    batch = _batch(b=8)
+    rng = jax.random.PRNGKey(1)
+
+    full = make_train_step(CFG, tx)
+    acc = make_train_step(CFG, tx, accum_steps=4)
+
+    s_full, m_full = full(create_state(params, tx), batch, rng)
+    s_acc, m_acc = acc(create_state(params, tx), batch, rng)
+
+    np.testing.assert_allclose(
+        float(m_full["loss"]), float(m_acc["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        ),
+        s_full["params"], s_acc["params"],
+    )
+    assert int(s_acc["step"]) == 1
+
+
+def test_grad_accumulation_rejects_indivisible_batch():
+    tx = adam_warmup(lr=1e-3, warmup_steps=10, grad_clip_norm=1.0)
+    params = efts.init(jax.random.PRNGKey(0), CFG)
+    acc = make_train_step(CFG, tx, accum_steps=3)
+    with pytest.raises(AssertionError, match="not divisible"):
+        acc(create_state(params, tx), _batch(b=8), jax.random.PRNGKey(1))
