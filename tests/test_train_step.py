@@ -166,3 +166,21 @@ def test_grad_accumulation_rejects_indivisible_batch():
     acc = make_train_step(CFG, tx, accum_steps=3)
     with pytest.raises(AssertionError, match="not divisible"):
         acc(create_state(params, tx), _batch(b=8), jax.random.PRNGKey(1))
+
+
+def test_grad_accumulation_sharded():
+    """accum_steps composes with the mesh: the scan's micro-batches keep
+    the dp sharding, GSPMD still inserts the gradient reductions."""
+    mesh = make_mesh(model=2)
+    tx = adam_warmup(lr=1e-3, warmup_steps=10)
+    params = efts.init(jax.random.PRNGKey(0), CFG)
+    state = shard_state(params, tx, mesh)
+    step = make_train_step(CFG, tx, accum_steps=2)
+    batch = shard_batch(_batch(b=8), mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    plain = make_train_step(CFG, tx)
+    state_ref, metrics_ref = plain(
+        create_state(params, tx), _batch(b=8), jax.random.PRNGKey(1)
+    )
+    assert abs(float(metrics["loss"]) - float(metrics_ref["loss"])) < 1e-4
