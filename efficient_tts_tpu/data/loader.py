@@ -99,8 +99,16 @@ def device_prefetch(iterator, size: int = 2, mesh=None):
 
     import jax
 
+    last = (None, None)  # (source batch object, placed copy)
+
     def put(item):
+        nonlocal last
         epoch, batch = item
+        # identity fast path: `infinite_loader`'s whole-corpus-batch mode
+        # yields the same dict every epoch — place it once, not per step
+        # (host->device bandwidth + the relay's per-transfer host leak)
+        if batch is last[0]:
+            return epoch, last[1]
         if mesh is not None:
             from efficient_tts_tpu.parallel.sharding import batch_sharding
 
@@ -110,6 +118,7 @@ def device_prefetch(iterator, size: int = 2, mesh=None):
             }
         else:
             placed = jax.device_put(batch)
+        last = (batch, placed)
         return epoch, placed
 
     queue = collections.deque()
@@ -124,7 +133,31 @@ def device_prefetch(iterator, size: int = 2, mesh=None):
 def infinite_loader(dataset, batch_size, collate_fn, seed=0, **kw):
     """Endless stream over reshuffled epochs (the reference trains by step
     count over an infinite epoch loop, `efficient_tts_trainer.py:62-76`).
-    Yields (epoch, batch)."""
+    Yields (epoch, batch).
+
+    Degenerate-epoch fast path: when the whole dataset is ONE batch
+    (full-corpus batches, e.g. small-corpus overfit runs), reshuffling
+    only permutes rows inside that single batch — gradient-identical —
+    so the collated dict is built once and the SAME object is yielded
+    every epoch. Downstream placement (`device_prefetch`, the trainers)
+    detects the repeat by identity and skips the host->device re-upload:
+    that is one batch upload per RUN instead of per step, which matters
+    both for host->device bandwidth and because some remote-device
+    transports (the axon relay here) leak host memory per transfer —
+    a fresh 7 MB upload every step OOM-killed an 11k-step run at
+    ~130 GB RSS before this path existed."""
+    whole_corpus_batch = batch_size == len(dataset) or (
+        batch_size > len(dataset) and not kw.get("drop_last", True)
+    )
+    if whole_corpus_batch:
+        cached = list(data_loader(
+            dataset, batch_size, collate_fn, seed=seed, epoch=0, **kw
+        ))
+        if len(cached) == 1:
+            epoch = 0
+            while True:
+                yield epoch, cached[0]
+                epoch += 1
     epoch = 0
     while True:
         for batch in data_loader(

@@ -149,11 +149,16 @@ class EftsTrainer:
                 count = 0
                 t_last = time.time()
 
+        last_src, last_placed = None, None
         try:
             while step < self.train_max_steps:
                 epoch, batch = next(self.train_iter)
-                if self.mesh is not None and not _is_placed(batch):
-                    batch = shard_batch(batch, self.mesh)
+                if batch is last_src:
+                    batch = last_placed  # identity-cached placement
+                elif self.mesh is not None and not _is_placed(batch):
+                    placed = shard_batch(batch, self.mesh)
+                    last_src, last_placed = batch, placed
+                    batch = placed
                 self.rng, sub = jax.random.split(self.rng)
                 self.state, metrics = self._train_step(self.state, batch, sub)
                 step += 1

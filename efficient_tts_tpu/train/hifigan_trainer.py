@@ -147,13 +147,18 @@ class HiFiGANTrainer:
                 count = 0
                 t_last = time.time()
 
+        last_src, last_placed = None, None
         try:
             while step < self.train_max_steps:
                 _, batch = next(self.train_iter)
-                if self.mesh is not None:
+                if batch is last_src:
+                    batch = last_placed  # identity-cached placement
+                elif self.mesh is not None:
                     from efficient_tts_tpu.train.efts_train_step import shard_batch
 
-                    batch = shard_batch(batch, self.mesh)
+                    placed = shard_batch(batch, self.mesh)
+                    last_src, last_placed = batch, placed
+                    batch = placed
                 self.state, metrics = self.train_step(self.state, batch)
                 step += 1
                 if keys is None:

@@ -177,3 +177,26 @@ def test_vocoder_segment_dataset(corpus):
     batch = collate_mel_audio([ds[i] for i in range(3)])
     assert batch["audio"].shape == (3, 8192)
     assert batch["mel"].shape[0] == 3
+
+
+def test_infinite_loader_whole_corpus_batch_is_cached(corpus):
+    """One-batch epochs (batch_size == corpus size) must yield the SAME
+    collated object every epoch: downstream placement caches by identity
+    so the batch is uploaded to the device once per run, not per step."""
+    ds = TextMelDataset(
+        corpus["filelist"],
+        wav_path=corpus["wavdir"],
+        use_phnseq=True,
+        phnset_path=corpus["phnset"],
+    )
+    collate = lambda items: collate_text_mel(items, text_bucket=8, mel_bucket=32)
+    it = infinite_loader(ds, len(ds), collate, length_fn=ds.approx_length)
+    e0, b0 = next(it)
+    e1, b1 = next(it)
+    assert b1 is b0 and (e0, e1) == (0, 1)
+    assert b0["text"].shape[0] == len(ds)
+    # smaller batches must NOT be cached (epochs reshuffle compositions)
+    it2 = infinite_loader(ds, 2, collate, length_fn=ds.approx_length)
+    _, c0 = next(it2)
+    _, c1 = next(it2)
+    assert c1 is not c0
