@@ -112,6 +112,12 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored["params"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # optimizer state must restore exactly too (resume == continuation)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(state["opt_state"]),
+        jax.tree_util.tree_leaves(restored["opt_state"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
     # pretrain mode: params restored, optimizer fresh
     pre = load_checkpoint(path, template, load_only_params=True)
