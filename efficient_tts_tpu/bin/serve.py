@@ -119,6 +119,11 @@ def build_engine(args):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    from efficient_tts_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     logging.basicConfig(level=logging.INFO)
     if args.use_cpu:
         import jax

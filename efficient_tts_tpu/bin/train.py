@@ -56,6 +56,11 @@ def apply_overrides(config: dict, overrides: list) -> dict:
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    from efficient_tts_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     logging.basicConfig(
         level=logging.DEBUG if args.verbose > 1 else logging.INFO,
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",

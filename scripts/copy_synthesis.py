@@ -1,0 +1,75 @@
+"""Copy-synthesis control for the golden comparison: ground-truth mels
+through OUR vocoder only.
+
+Decomposes the end-to-end golden MCD (`scripts/golden_compare.py`) into
+acoustic-model vs vocoder contributions: each golden wav
+(`/root/reference/egs/lj/checkpoint-320000steps/*.wav`, the reference's
+committed capability proof) is analyzed with our DSP (`dsp/mel.py`,
+torch.stft-oracle-tested) and re-synthesized by our HiFi-GAN generator.
+The resulting wavs score ONLY the vocoder: if their MCD vs the goldens
+matches the full-pipeline MCD, the acoustic model is not the bottleneck.
+
+Usage:
+  python scripts/copy_synthesis.py --vocoder_checkpoint exp/micro_hifigan/checkpoint-12000steps \
+      [--ref_dir /root/reference/egs/lj/checkpoint-320000steps] \
+      [--outdir exp/micro_efts/copysynth]
+  python scripts/golden_compare.py --hyp_dir exp/micro_efts/copysynth
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vocoder_checkpoint", required=True)
+    ap.add_argument(
+        "--ref_dir", default="/root/reference/egs/lj/checkpoint-320000steps"
+    )
+    ap.add_argument("--outdir", default="exp/micro_efts/copysynth")
+    ap.add_argument("--bucket", type=int, default=64, help="mel-frame bucket")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from scipy.io.wavfile import write as wav_write
+
+    from efficient_tts_tpu.bin.inference import _load_vocoder
+    from efficient_tts_tpu.data.dataset import load_wav_float
+    from efficient_tts_tpu.dsp.mel import MelConfig, mel_spectrogram_np
+    from efficient_tts_tpu.models import hifigan as hg
+    from efficient_tts_tpu.models.hifigan import HiFiGANConfig
+
+    voc_cfg = HiFiGANConfig()
+    voc_params = _load_vocoder(args.vocoder_checkpoint, voc_cfg)
+    os.makedirs(args.outdir, exist_ok=True)
+    mel_cfg = MelConfig()
+
+    for p in sorted(glob.glob(os.path.join(args.ref_dir, "*.wav"))):
+        audio, sr = load_wav_float(p)
+        assert sr == mel_cfg.sampling_rate, (p, sr)
+        mel = mel_spectrogram_np(audio, mel_cfg).T  # [T, 80]
+        t = mel.shape[0]
+        pad = (-t) % args.bucket
+        mel_in = np.pad(mel, ((0, pad), (0, 0)))[None]  # [1, T', 80]
+        wav = hg.generator(
+            voc_params, voc_cfg, jnp.asarray(mel_in),
+            compute_dtype=jnp.bfloat16, pack_small_channels=True,
+        )
+        wav = np.asarray(wav)[0, : t * mel_cfg.hop_size]
+        name = os.path.splitext(os.path.basename(p))[0].split("_")[0]
+        out = os.path.join(args.outdir, f"{name}_copysynth.wav")
+        pcm = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+        wav_write(out, sr, pcm)
+        print(f"{name}: {t} frames -> {len(pcm)} samples")
+    print(f"copy-synthesis wavs in {args.outdir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
