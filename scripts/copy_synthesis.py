@@ -45,24 +45,34 @@ def main():
     from efficient_tts_tpu.models import hifigan as hg
     from efficient_tts_tpu.models.hifigan import HiFiGANConfig
 
+    from efficient_tts_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     voc_cfg = HiFiGANConfig()
     voc_params = _load_vocoder(args.vocoder_checkpoint, voc_cfg)
     os.makedirs(args.outdir, exist_ok=True)
     mel_cfg = MelConfig()
 
+    mels = {}
     for p in sorted(glob.glob(os.path.join(args.ref_dir, "*.wav"))):
         audio, sr = load_wav_float(p)
-        assert sr == mel_cfg.sampling_rate, (p, sr)
-        mel = mel_spectrogram_np(audio, mel_cfg).T  # [T, 80]
+        assert sr == mel_cfg.sample_rate, (p, sr)
+        name = os.path.splitext(os.path.basename(p))[0].split("_")[0]
+        mels[name] = mel_spectrogram_np(audio, mel_cfg).T  # [T, 80]
+    # one padded shape for every utterance -> one XLA compile
+    t_max = max(m.shape[0] for m in mels.values())
+    t_pad = t_max + ((-t_max) % args.bucket)
+    for name, mel in mels.items():
         t = mel.shape[0]
-        pad = (-t) % args.bucket
-        mel_in = np.pad(mel, ((0, pad), (0, 0)))[None]  # [1, T', 80]
+        mel_in = np.pad(mel, ((0, t_pad - t), (0, 0)))[None]  # [1, T', 80]
         wav = hg.generator(
-            voc_params, voc_cfg, jnp.asarray(mel_in),
+            voc_params, jnp.asarray(mel_in), voc_cfg,
             compute_dtype=jnp.bfloat16, pack_small_channels=True,
+            mrf_impl="auto",
         )
         wav = np.asarray(wav)[0, : t * mel_cfg.hop_size]
-        name = os.path.splitext(os.path.basename(p))[0].split("_")[0]
         out = os.path.join(args.outdir, f"{name}_copysynth.wav")
         pcm = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
         wav_write(out, sr, pcm)
