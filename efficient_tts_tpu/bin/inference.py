@@ -31,6 +31,12 @@ def get_parser():
     p.add_argument("--num_utts", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--use_cpu", action="store_true")
+    p.add_argument(
+        "--duration_correction", action="store_true",
+        help="apply the analytic last-token truncation correction to "
+        "predicted durations (ops/alignment.py:boundary_truncation_"
+        "correction; default off = reference parity)",
+    )
     return p
 
 
@@ -108,7 +114,8 @@ def main(argv=None):
         lengths = np.asarray([len(s) for s in seqs], np.int32)
         t0 = time.time()
         wav, wav_lengths = synthesize(
-            efts_params, voc_params, text_ids, lengths, cfg, voc_cfg
+            efts_params, voc_params, text_ids, lengths, cfg, voc_cfg,
+            duration_correction=args.duration_correction,
         )
         dt = time.time() - t0
         total_time += dt

@@ -56,6 +56,10 @@ def load_wav_float(path: str) -> tuple:
 class TextMelDataset:
     """LJ-style text+mel dataset with on-the-fly mel extraction."""
 
+    # __getitem__ is a pure function of the index: the whole-corpus-batch
+    # fast path in `loader.infinite_loader` may cache one collated epoch.
+    deterministic_items = True
+
     def __init__(
         self,
         meta_file: str,
@@ -203,6 +207,11 @@ class MelAudioSegmentDataset:
         if fine_tuning and not base_mels_path:
             raise ValueError("fine_tuning requires base_mels_path (GTA mels)")
         self._rng = random.Random(seed)
+        # Random segment crops make __getitem__ stochastic when split=True:
+        # the whole-corpus-batch cache in `loader.infinite_loader` would
+        # freeze every crop at its epoch-0 position for the entire run
+        # (the reference re-crops every epoch, `meldataset.py:141-147`).
+        self.deterministic_items = not split
 
     def __len__(self) -> int:
         return len(self.files)

@@ -136,19 +136,23 @@ def infinite_loader(dataset, batch_size, collate_fn, seed=0, **kw):
     Yields (epoch, batch).
 
     Degenerate-epoch fast path: when the whole dataset is ONE batch
-    (full-corpus batches, e.g. small-corpus overfit runs), reshuffling
-    only permutes rows inside that single batch — gradient-identical —
-    so the collated dict is built once and the SAME object is yielded
-    every epoch. Downstream placement (`device_prefetch`, the trainers)
+    (full-corpus batches, e.g. small-corpus overfit runs) AND the
+    dataset declares `deterministic_items = True`, reshuffling only
+    permutes rows inside that single batch — gradient-identical — so
+    the collated dict is built once and the SAME object is yielded
+    every epoch. Datasets whose __getitem__ is stochastic (e.g. the
+    vocoder's random segment crops) must NOT take this path: caching
+    the epoch-0 batch would freeze every random crop for the whole run. Downstream placement (`device_prefetch`, the trainers)
     detects the repeat by identity and skips the host->device re-upload:
     that is one batch upload per RUN instead of per step, which matters
     both for host->device bandwidth and because some remote-device
     transports (the axon relay here) leak host memory per transfer —
     a fresh 7 MB upload every step OOM-killed an 11k-step run at
     ~130 GB RSS before this path existed."""
-    whole_corpus_batch = batch_size == len(dataset) or (
-        batch_size > len(dataset) and not kw.get("drop_last", True)
-    )
+    whole_corpus_batch = (
+        batch_size == len(dataset)
+        or (batch_size > len(dataset) and not kw.get("drop_last", True))
+    ) and getattr(dataset, "deterministic_items", False)
     if whole_corpus_batch:
         cached = list(data_loader(
             dataset, batch_size, collate_fn, seed=seed, epoch=0, **kw

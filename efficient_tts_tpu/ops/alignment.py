@@ -137,3 +137,34 @@ def alignment_from_positions(
         alpha = jnp.exp(energies - jnp.max(energies, axis=1, keepdims=True))
         alpha = alpha / jnp.maximum(jnp.sum(alpha, axis=1, keepdims=True), 1e-30)
     return alpha
+
+
+def boundary_truncation_correction(
+    e: jnp.ndarray, text_lengths: jnp.ndarray, sigma_e: float = 0.5
+) -> jnp.ndarray:
+    """Analytic last-token truncation correction for aligned positions.
+
+    `aligned_positions` (reference `efficient_tts.py:326-345`) estimates
+    each token's position as a softmax-weighted mean of mel indices under
+    Gaussian energies -sigma_e (imv - p)^2. For the LAST token the
+    Gaussian is truncated one-sidedly at the sequence end, biasing its
+    mean inward by sqrt(2/pi) * tau frames, where
+    tau = (T2-1) / ((T1-1) sqrt(2 sigma_e)) is the Gaussian's std in the
+    time variable (VALIDATION.md 2a; the bias is inherited from the
+    reference -- identical math and constants -- and scales as 1/T1:
+    ~7% of total length at T1=12, <1% at LJ's T1~100).
+
+    The duration predictor is trained on the biased target, so inferred
+    `e` carries the same shortfall. This adds the analytic shift back to
+    the last valid position (and its padding plateau), using the
+    uncorrected e[:, last] as the T2-1 estimate (second-order error
+    O(shift/T2)). Opt-in at inference (`duration_correction` flags);
+    default off preserves reference parity.
+    """
+    idx_last = (text_lengths - 1)[:, None]
+    e_last = jnp.take_along_axis(e, idx_last, axis=1)
+    t1m1 = jnp.maximum(text_lengths.astype(e.dtype) - 1.0, 1.0)[:, None]
+    tau = e_last / (t1m1 * jnp.sqrt(2.0 * sigma_e))
+    shift = tau * jnp.sqrt(jnp.asarray(2.0 / jnp.pi, e.dtype))
+    pos = jnp.arange(e.shape[1])[None, :]
+    return e + jnp.where(pos >= idx_last, shift, 0.0)

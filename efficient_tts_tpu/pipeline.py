@@ -31,9 +31,20 @@ from efficient_tts_tpu.models.hifigan import HiFiGANConfig
 from efficient_tts_tpu.utils.masks import bucket_length, sequence_mask
 
 
+def _maybe_correct(e, text_lengths, efts_cfg, duration_correction):
+    if not duration_correction:
+        return e
+    from efficient_tts_tpu.ops.alignment import boundary_truncation_correction
+
+    return boundary_truncation_correction(e, text_lengths, efts_cfg.sigma_e)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("efts_cfg", "voc_cfg", "t2", "compute_dtype", "mrf_impl"),
+    static_argnames=(
+        "efts_cfg", "voc_cfg", "t2", "compute_dtype", "mrf_impl",
+        "duration_correction",
+    ),
 )
 def synthesize_fixed(
     efts_params: dict,
@@ -45,15 +56,20 @@ def synthesize_fixed(
     t2: int,
     compute_dtype=None,
     mrf_impl: str = "xla",
+    duration_correction: bool = False,
 ):
     """Fully jitted text -> waveform at a static mel length `t2`.
 
     Returns (wav [B, t2*hop], wav_lengths [B], mel [B, t2, odim]).
     `compute_dtype=jnp.bfloat16` runs decoder + vocoder conv stacks in
     bf16 on the MXU (alignment math stays float32).
+    `duration_correction` opts into the analytic last-token truncation
+    correction (`ops/alignment.py:boundary_truncation_correction`;
+    default off = reference parity).
     """
     m = model_module_for(efts_cfg)
     e, value, tmask = m.infer_durations(efts_params, efts_cfg, text, text_lengths)
+    e = _maybe_correct(e, text_lengths, efts_cfg, duration_correction)
     mel, _ = m.infer_decode(
         efts_params, efts_cfg, value, e, tmask, t2, compute_dtype=compute_dtype
     )
@@ -69,12 +85,16 @@ def synthesize_fixed(
     return wav, wav_lengths, mel
 
 
-@functools.partial(jax.jit, static_argnames=("efts_cfg",))
-def predict_lengths(efts_params: dict, text, text_lengths, efts_cfg: EftsCNNConfig):
+@functools.partial(jax.jit, static_argnames=("efts_cfg", "duration_correction"))
+def predict_lengths(
+    efts_params: dict, text, text_lengths, efts_cfg: EftsCNNConfig,
+    duration_correction: bool = False,
+):
     """Stage-1 graph: aligned positions only (for host bucket choice)."""
     e, _, _ = model_module_for(efts_cfg).infer_durations(
         efts_params, efts_cfg, text, text_lengths
     )
+    e = _maybe_correct(e, text_lengths, efts_cfg, duration_correction)
     last = jnp.take_along_axis(e, (text_lengths - 1)[:, None], axis=1)[:, 0]
     return jnp.round(last).astype(jnp.int32)
 
@@ -91,6 +111,7 @@ def synthesize(
     compute_dtype=None,
     mesh=None,
     mrf_impl: str = "xla",
+    duration_correction: bool = False,
 ):
     """Host-driven batched synthesis with automatic bucket selection.
 
@@ -108,12 +129,16 @@ def synthesize(
         text = jax.device_put(text, batch_sharding(mesh, ndim=2))
         text_lengths = jax.device_put(text_lengths, batch_sharding(mesh, ndim=1))
     mel_lengths = np.asarray(
-        jax.device_get(predict_lengths(efts_params, text, text_lengths, efts_cfg))
+        jax.device_get(predict_lengths(
+            efts_params, text, text_lengths, efts_cfg,
+            duration_correction=duration_correction,
+        ))
     )
     t2 = min(bucket_length(int(mel_lengths.max()), bucket_multiple), max_t2)
     wav, wav_lengths, _ = synthesize_fixed(
         efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2,
         compute_dtype=compute_dtype, mrf_impl=mrf_impl,
+        duration_correction=duration_correction,
     )
     return np.asarray(jax.device_get(wav)), np.asarray(jax.device_get(wav_lengths))
 
@@ -123,7 +148,8 @@ def synthesize(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("efts_cfg", "t2", "compute_dtype")
+    jax.jit, static_argnames=("efts_cfg", "t2", "compute_dtype",
+                              "duration_correction")
 )
 def decode_mel_fixed(
     efts_params: dict,
@@ -132,6 +158,7 @@ def decode_mel_fixed(
     efts_cfg: EftsCNNConfig,
     t2: int,
     compute_dtype=None,
+    duration_correction: bool = False,
 ):
     """Text -> (mel [B, t2, odim], mel_lengths [B]) at a static bucket.
 
@@ -139,6 +166,7 @@ def decode_mel_fixed(
     separately (streaming, GTA-style inspection)."""
     m = model_module_for(efts_cfg)
     e, value, tmask = m.infer_durations(efts_params, efts_cfg, text, text_lengths)
+    e = _maybe_correct(e, text_lengths, efts_cfg, duration_correction)
     mel, _ = m.infer_decode(
         efts_params, efts_cfg, value, e, tmask, t2, compute_dtype=compute_dtype
     )

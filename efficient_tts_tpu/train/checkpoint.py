@@ -38,15 +38,27 @@ def wait_for_saves() -> None:
 
 
 def save_checkpoint(
-    outdir: str, state: dict, step: int | None = None, wait: bool = True
+    outdir: str,
+    state: dict,
+    step: int | None = None,
+    wait: bool = True,
+    name: str | None = None,
 ) -> str:
     """`wait=False` returns as soon as the device->host snapshot is
     taken; the disk write completes in the background (serialized with
     any previous in-flight save). Call `wait_for_saves()` (or let the
-    atexit hook) before reading the path back."""
+    atexit hook) before reading the path back.
+
+    `name` overrides the default `checkpoint-{step}steps` directory name.
+    Names that don't match that pattern are invisible to
+    `latest_checkpoint` — used for the divergence guard's forensic dump,
+    which holds a state 1-2 updates PAST the divergent step (metrics are
+    consumed one step late) and must never be auto-resumed."""
     if step is None:
         step = int(jax.device_get(state["step"]))
-    path = os.path.join(os.path.abspath(outdir), f"checkpoint-{step}steps")
+    path = os.path.join(
+        os.path.abspath(outdir), name or f"checkpoint-{step}steps"
+    )
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
     if wait:

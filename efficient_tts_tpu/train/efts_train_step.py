@@ -43,10 +43,16 @@ def make_train_step(
     unsupervised alignment discovery needs (micro-corpus study: B=16
     collapses to uniform attention where the reference's B=128 trains;
     `scripts/make_micro_corpus.py`) without the [B, T1, T2] alignment
-    tensors of the full batch ever co-residing in HBM. Gradients are
-    averaged across micro-batches; like every masked-loss accumulation
-    this equals the full-batch gradient exactly only when micro-batches
-    have equal valid-element counts (standard accumulation semantics).
+    tensors of the full batch ever co-residing in HBM.
+
+    The accumulated gradient equals the full-batch gradient EXACTLY
+    (modulo float reassociation), including with `use_masking=True` and
+    ragged micro-batches: each micro-batch's mel/duration losses are
+    weighted by its share of the batch's valid-element counts (known
+    up-front from text/mel lengths) before differentiation, so the sum
+    over micro-batches reproduces the full-batch masked means — not the
+    uniform average of per-micro means, which skews toward short
+    micro-batches and would feed grad-clip a biased estimate.
     """
     sp_sharding = None
     if sequence_parallel:
@@ -99,6 +105,19 @@ def make_train_step(
 
         return train_step
 
+    def weighted_grads_and_metrics(params, batch, rng, w_mel, w_dur):
+        def wloss_fn(p):
+            _, out = loss_fn(p, batch, rng)
+            return w_mel * out["mel_loss"] + w_dur * out["duration_loss"], out
+
+        (wloss, out), grads = jax.value_and_grad(wloss_fn, has_aux=True)(params)
+        metrics = {
+            "loss": wloss,
+            "mel_loss": w_mel * out["mel_loss"],
+            "duration_loss": w_dur * out["duration_loss"],
+        }
+        return grads, metrics
+
     @jax.jit
     def train_step_accum(state, batch, rng):
         def split(x):
@@ -109,19 +128,33 @@ def make_train_step(
             return x.reshape(accum_steps, x.shape[0] // accum_steps,
                              *x.shape[1:])
 
+        import jax.numpy as jnp
+
         micro = jax.tree.map(split, batch)
         rngs = jax.random.split(rng, accum_steps)
         params = state["params"]
 
+        # per-micro-batch share of the FULL batch's valid-element counts:
+        # weighting each micro loss by count_i/total before the backward
+        # makes the accumulated gradient the exact full-batch masked mean
+        if cfg.use_masking:
+            mel_counts = jnp.sum(micro["mel_lengths"], axis=1).astype(jnp.float32)
+            dur_counts = jnp.sum(micro["text_lengths"], axis=1).astype(jnp.float32)
+        else:
+            # unmasked means divide by padded element counts — identical
+            # per micro-batch, so the weights reduce to 1/accum_steps
+            mel_counts = jnp.ones((accum_steps,), jnp.float32)
+            dur_counts = jnp.ones((accum_steps,), jnp.float32)
+        w_mel = mel_counts / jnp.maximum(jnp.sum(mel_counts), 1.0)
+        w_dur = dur_counts / jnp.maximum(jnp.sum(dur_counts), 1.0)
+
         def body(carry, xs):
             grads_acc, metrics_acc = carry
-            mb, r = xs
-            grads, metrics = grads_and_metrics(params, mb, r)
+            mb, r, wm, wd = xs
+            grads, metrics = weighted_grads_and_metrics(params, mb, r, wm, wd)
             grads_acc = jax.tree.map(lambda a, b: a + b, grads_acc, grads)
             metrics_acc = jax.tree.map(lambda a, b: a + b, metrics_acc, metrics)
             return (grads_acc, metrics_acc), None
-
-        import jax.numpy as jnp
 
         zero_grads = jax.tree.map(jnp.zeros_like, params)
         zero_metrics = {
@@ -130,11 +163,8 @@ def make_train_step(
             "duration_loss": jnp.zeros(()),
         }
         (grads, metrics), _ = jax.lax.scan(
-            body, (zero_grads, zero_metrics), (micro, rngs)
+            body, (zero_grads, zero_metrics), (micro, rngs, w_mel, w_dur)
         )
-        inv = 1.0 / accum_steps
-        grads = jax.tree.map(lambda g: g * inv, grads)
-        metrics = {k: v * inv for k, v in metrics.items()}
         new_state = apply_updates(state, grads, tx)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

@@ -82,11 +82,11 @@ class EftsTrainer:
         else:
             self.state = create_state(params, self.tx)
 
-    def save(self, wait: bool = False):
+    def save(self, wait: bool = False, name: str | None = None):
         # async: the device->host snapshot happens before return, the
         # disk write overlaps subsequent training steps; pruning only
         # runs under a retention policy, which must wait for the commit
-        path = ckpt.save_checkpoint(self.outdir, self.state, wait=wait)
+        path = ckpt.save_checkpoint(self.outdir, self.state, wait=wait, name=name)
         log.info("saving checkpoint %s (async)", path)
         if self.max_keep_checkpoints:
             ckpt.wait_for_saves()
@@ -191,20 +191,21 @@ class EftsTrainer:
         return self.state
 
     def _check_finite(self, loss_val: float, step: int):
-        """Divergence guard (absent upstream): a non-finite loss saves an
-        emergency checkpoint of the last finite state and aborts with a
-        clear error instead of silently training on NaNs for the rest of
-        a long unattended run. Metrics are consumed one step late (see
-        `_run`), so the saved state is one-to-two updates past the
-        divergent one; resume from the previous interval checkpoint with
-        a lower lr."""
+        """Divergence guard (absent upstream): a non-finite loss dumps a
+        forensic state snapshot and aborts with a clear error instead of
+        silently training on NaNs for the rest of a long unattended run.
+        Metrics are consumed one step late (see `_run`), so the dumped
+        state is one-to-two updates PAST the divergent one and likely
+        NaN-propagated: it is written under `diverged-state-{step}` —
+        invisible to `latest_checkpoint`, so --resume keeps using the
+        last interval checkpoint."""
         import math
 
         if math.isfinite(loss_val):
             return
-        log.error("non-finite loss %r at step %d: checkpointing and aborting",
-                  loss_val, step)
-        self.save(wait=True)
+        log.error("non-finite loss %r at step %d: dumping forensic state "
+                  "and aborting", loss_val, step)
+        self.save(wait=True, name=f"diverged-state-{step}")
         raise FloatingPointError(
             f"training diverged: loss={loss_val} at step {step}"
         )

@@ -56,10 +56,10 @@ class HiFiGANTrainer:
         self.max_keep_checkpoints = max_keep_checkpoints
         os.makedirs(outdir, exist_ok=True)
 
-    def save(self, wait: bool = False):
+    def save(self, wait: bool = False, name: str | None = None):
         # async write (see efts_trainer.save): a full GAN state is
         # ~800 MB — minutes of disk time that must not block the loop
-        path = ckpt.save_checkpoint(self.outdir, self.state, wait=wait)
+        path = ckpt.save_checkpoint(self.outdir, self.state, wait=wait, name=name)
         log.info("saving vocoder checkpoint %s (async)", path)
         if self.max_keep_checkpoints:
             ckpt.wait_for_saves()
@@ -124,10 +124,13 @@ class HiFiGANTrainer:
             for k, val in zip(keys, (float(v) for v in vals)):
                 if k in ("g_loss", "d_loss") and not math.isfinite(val):
                     log.error(
-                        "non-finite %s=%r at step %d: checkpointing "
-                        "and aborting (divergence guard)", k, val, pstep,
+                        "non-finite %s=%r at step %d: dumping forensic "
+                        "state and aborting (divergence guard); resume "
+                        "from the last interval checkpoint, NOT this dump "
+                        "(it is 1-2 updates past the divergence and "
+                        "likely NaN-propagated)", k, val, pstep,
                     )
-                    self.save(wait=True)
+                    self.save(wait=True, name=f"diverged-state-{pstep}")
                     raise FloatingPointError(
                         f"GAN training diverged: {k}={val} at step {pstep}"
                     )

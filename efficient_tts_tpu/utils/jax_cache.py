@@ -31,8 +31,9 @@ def enable_persistent_compilation_cache(default_dir: str = DEFAULT_DIR):
     env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if env is not None:
         return env or None  # set (possibly "" = explicit opt-out) via env
-    if jax.config.jax_compilation_cache_dir:
-        return jax.config.jax_compilation_cache_dir
+    configured = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if configured:
+        return configured
     path = os.path.expanduser(default_dir)
     try:
         os.makedirs(path, exist_ok=True)

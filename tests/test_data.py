@@ -200,3 +200,20 @@ def test_infinite_loader_whole_corpus_batch_is_cached(corpus):
     _, c0 = next(it2)
     _, c1 = next(it2)
     assert c1 is not c0
+
+
+def test_infinite_loader_never_caches_stochastic_datasets(corpus):
+    """Vocoder segment datasets draw a fresh random crop per access
+    (`meldataset.py:141-147`); the whole-corpus-batch cache must not
+    freeze epoch-0's crops for the whole run (ADVICE r2 high)."""
+    files = [os.path.join(corpus["wavdir"], f"utt{i}.wav") for i in range(6)]
+    ds = MelAudioSegmentDataset(files, segment_size=8192)
+    assert ds.deterministic_items is False
+    it = infinite_loader(ds, len(ds), collate_mel_audio)
+    _, b0 = next(it)
+    _, b1 = next(it)
+    assert b1 is not b0
+    assert not np.array_equal(b0["audio"], b1["audio"])  # re-cropped
+    # split=False (whole utterances, e.g. eval) is deterministic again
+    ds_eval = MelAudioSegmentDataset(files, segment_size=8192, split=False)
+    assert ds_eval.deterministic_items is True

@@ -111,3 +111,56 @@ def test_gan_state_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored["gen"]["params"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_duration_correction_flag():
+    """Opt-in analytic truncation correction (VALIDATION.md 2a): lengthens
+    every utterance by exactly sqrt(2/pi) * e_last/((T1-1) sqrt(2 sigma_e))
+    frames at the last valid position; default off is bit-unchanged."""
+    import jax.numpy as jnp
+
+    from efficient_tts_tpu.models import efficient_tts as m
+    from efficient_tts_tpu.ops.alignment import boundary_truncation_correction
+
+    efts_params, voc_params = _params()
+    rng = np.random.default_rng(1)
+    text = np.zeros((2, 24), np.int32)
+    t1s = np.array([24, 16], np.int32)
+    for i, t1 in enumerate(t1s):
+        text[i, :t1] = rng.integers(1, 40, size=t1)
+
+    e, _, _ = m.infer_durations(efts_params, EFTS_CFG, jnp.asarray(text), jnp.asarray(t1s))
+    e_np = np.asarray(e)
+    e_corr = np.asarray(
+        boundary_truncation_correction(e, jnp.asarray(t1s), EFTS_CFG.sigma_e)
+    )
+    for i, t1 in enumerate(t1s):
+        last = e_np[i, t1 - 1]
+        tau = last / ((t1 - 1) * np.sqrt(2.0 * EFTS_CFG.sigma_e))
+        shift = tau * np.sqrt(2.0 / np.pi)
+        # untouched before the last valid token, shifted from it onward
+        np.testing.assert_allclose(e_corr[i, : t1 - 1], e_np[i, : t1 - 1])
+        np.testing.assert_allclose(
+            e_corr[i, t1 - 1 :], e_np[i, t1 - 1 :] + shift, rtol=1e-5
+        )
+        assert shift > 0
+
+    pred_off = np.asarray(predict_lengths(efts_params, text, t1s, EFTS_CFG))
+    pred_off2 = np.asarray(
+        predict_lengths(efts_params, text, t1s, EFTS_CFG, duration_correction=False)
+    )
+    pred_on = np.asarray(
+        predict_lengths(efts_params, text, t1s, EFTS_CFG, duration_correction=True)
+    )
+    np.testing.assert_array_equal(pred_off, pred_off2)  # default = off
+    assert (pred_on >= pred_off).all() and (pred_on > pred_off).any()
+
+    # full jitted path accepts the flag and produces longer audio
+    wav_on, len_on = synthesize(
+        efts_params, voc_params, text, t1s, EFTS_CFG, VOC_CFG,
+        bucket_multiple=32, duration_correction=True,
+    )
+    wav_off, len_off = synthesize(
+        efts_params, voc_params, text, t1s, EFTS_CFG, VOC_CFG, bucket_multiple=32
+    )
+    assert (len_on >= len_off).all()

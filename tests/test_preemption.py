@@ -101,11 +101,17 @@ def test_trainer_divergence_guard_checkpoints_and_aborts(tmp_path):
     )
     with pytest.raises(FloatingPointError, match="diverged"):
         trainer.run()
-    saved = [d for d in os.listdir(tmp_path) if d.startswith("checkpoint-")]
-    # the guard fires on step 3's metrics, consumed one step late: the
-    # emergency checkpoint holds the step-4 state (documented in
-    # HiFiGANTrainer._run / EftsTrainer._check_finite)
-    assert saved == ["checkpoint-4steps"]
+    # the dump is named for the DIVERGENT step (3) but — metrics being
+    # consumed one step late — holds the step-4 state, likely
+    # NaN-propagated: hence the non-resumable name (invisible to
+    # latest_checkpoint)
+    assert [d for d in os.listdir(tmp_path) if d.startswith("diverged-state-")] == [
+        "diverged-state-3"
+    ]
+    assert not any(d.startswith("checkpoint-") for d in os.listdir(tmp_path))
+    from efficient_tts_tpu.train.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(str(tmp_path)) is None
 
 
 def test_checkpoint_pruning_keeps_newest(tmp_path):
@@ -161,4 +167,5 @@ def test_efts_trainer_divergence_guard(tmp_path):
     trainer._train_step = bad_step
     with pytest.raises(FloatingPointError, match="diverged"):
         trainer.run()
-    assert any(d.startswith("checkpoint-") for d in os.listdir(tmp_path))
+    assert any(d.startswith("diverged-state-") for d in os.listdir(tmp_path))
+    assert not any(d.startswith("checkpoint-") for d in os.listdir(tmp_path))

@@ -190,3 +190,35 @@ def test_grad_accumulation_sharded():
         create_state(params, tx), _batch(b=8), jax.random.PRNGKey(1)
     )
     assert abs(float(metrics["loss"]) - float(metrics_ref["loss"])) < 1e-4
+
+
+def test_grad_accumulation_exact_with_ragged_micro_batches():
+    """With use_masking=True and UNEQUAL valid-element counts across
+    micro-batches, count-weighted accumulation still reproduces the
+    monolithic masked-mean step exactly (ADVICE r2: the old uniform
+    average skewed toward short micro-batches)."""
+    tx = adam_warmup(lr=1e-3, warmup_steps=10, grad_clip_norm=1.0)
+    params = efts.init(jax.random.PRNGKey(0), CFG)
+    batch = _batch(b=8)
+    # make lengths ragged so per-micro counts differ strongly
+    rng = np.random.default_rng(7)
+    batch["text_lengths"] = rng.integers(6, 17, size=8).astype(np.int32)
+    batch["mel_lengths"] = rng.integers(24, 65, size=8).astype(np.int32)
+    key = jax.random.PRNGKey(1)
+
+    full = make_train_step(CFG, tx)
+    acc = make_train_step(CFG, tx, accum_steps=4)
+
+    s_full, m_full = full(create_state(params, tx), batch, key)
+    s_acc, m_acc = acc(create_state(params, tx), batch, key)
+
+    for k in ("loss", "mel_loss", "duration_loss", "grad_norm"):
+        np.testing.assert_allclose(
+            float(m_full[k]), float(m_acc[k]), rtol=1e-4, err_msg=k
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        ),
+        s_full["params"], s_acc["params"],
+    )
