@@ -21,6 +21,7 @@ torch's persistent buffer.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -909,7 +910,99 @@ def _grouped_conv1d(kernel, x, stride, padding, groups, impl="fgc"):
             preferred_element_type=x.dtype,
         )
         return y + b.astype(x.dtype)
+    if impl.startswith("vjp:"):
+        igrad_impl, wgrad_impl = impl[len("vjp:"):].split(",")
+        return _grouped_conv1d_custom_grads(
+            w, b, x, stride, padding, groups, igrad_impl, wgrad_impl
+        )
     raise ValueError(f"unknown grouped conv impl {impl!r}")
+
+
+def _tap_wgrad(x, dy, stride, padding, groups, k, out_dtype):
+    """Grouped-conv kernel-gradient as per-tap batched matmuls.
+
+    dw[t, i, g*og+o] = sum_{b,l} x_pad[b, l*stride + t, g, i] dy[b, l, g, o]
+
+    A `lax.scan` over the k taps turns each tap into one einsum with a
+    huge contraction dim (B*L_out) and a tiny [g, C/g, Cout/g] output —
+    pure MXU batched-matmul work with no conv-emitter involvement, the
+    candidate replacement for XLA's grouped kernel-gradient lowering
+    (the measured bulk of the GAN D update; PERF.md round-3 section).
+    """
+    bsz, lo, cout = dy.shape
+    cin = x.shape[2]
+    cg, og = cin // groups, cout // groups
+    # pad so every tap can slice a full [lo*stride] window
+    x_pad = jnp.pad(x, ((0, 0), (padding, padding + k + stride), (0, 0)))
+    dy_g = dy.reshape(bsz, lo, groups, og)
+
+    def body(_, t):
+        xs = jax.lax.dynamic_slice(
+            x_pad, (0, t, 0), (bsz, lo * stride, cin)
+        ).reshape(bsz, lo, stride, cin)[:, :, 0, :]
+        xs = xs.reshape(bsz, lo, groups, cg)
+        dwt = jnp.einsum(
+            "blgi,blgo->gio", xs, dy_g, preferred_element_type=jnp.float32
+        )
+        return None, dwt
+
+    _, dw = jax.lax.scan(body, None, jnp.arange(k))  # [k, g, cg, og]
+    dw = dw.transpose(0, 2, 1, 3).reshape(k, cg, cout)
+    return dw.astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _grouped_conv1d_custom_grads(
+    w, b, x, stride, padding, groups, igrad_impl, wgrad_impl
+):
+    """Grouped conv: fgc forward with independently selected gradient
+    lowerings (`impl="vjp:<igrad>,<wgrad>"`).
+
+    XLA's autodiff derives BOTH gradients from whichever forward lowering
+    is chosen, so no single choice can combine e.g. the group-to-batch
+    input-gradient with a matmul kernel-gradient; this custom VJP frees
+    the two directions. igrad: fgc | bgc (transpose of that forward
+    lowering). wgrad: fgc | dense (transpose) | tap (`_tap_wgrad`).
+    Numerics are f32-exact vs the fgc autodiff
+    (`test_hifigan_strategies.py`)."""
+    return _grouped_conv1d(
+        {"w": w, "b": b}, x, stride, padding, groups, impl="fgc"
+    )
+
+
+def _gconv_fwd(w, b, x, stride, padding, groups, igrad_impl, wgrad_impl):
+    y = _grouped_conv1d_custom_grads(
+        w, b, x, stride, padding, groups, igrad_impl, wgrad_impl
+    )
+    return y, (w, b, x)
+
+
+def _gconv_bwd(stride, padding, groups, igrad_impl, wgrad_impl, res, dy):
+    w, b, x = res
+    zero_b = jnp.zeros_like(b)
+    _, vjp_x = jax.vjp(
+        lambda xx: _grouped_conv1d(
+            {"w": w, "b": zero_b}, xx, stride, padding, groups, impl=igrad_impl
+        ),
+        x,
+    )
+    (dx,) = vjp_x(dy)
+    if wgrad_impl == "tap":
+        dw = _tap_wgrad(x, dy, stride, padding, groups, w.shape[0], w.dtype)
+    else:
+        _, vjp_w = jax.vjp(
+            lambda ww: _grouped_conv1d(
+                {"w": ww, "b": zero_b}, x, stride, padding, groups,
+                impl=wgrad_impl,
+            ),
+            w,
+        )
+        (dw,) = vjp_w(dy)
+    db = dy.sum((0, 1)).astype(b.dtype)
+    return dw, db, dx
+
+
+_grouped_conv1d_custom_grads.defvjp(_gconv_fwd, _gconv_bwd)
 
 
 def scale_discriminator(

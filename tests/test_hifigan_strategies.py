@@ -169,12 +169,16 @@ def test_generator_gradients_match_across_impls(setup):
         )
 
 
-@pytest.mark.parametrize("impl", ["bgc", "dense"])
+@pytest.mark.parametrize(
+    "impl",
+    ["bgc", "dense", "vjp:bgc,tap", "vjp:bgc,dense", "vjp:fgc,tap"],
+)
 def test_msd_grouped_impl_matches_fgc(impl):
-    """The three grouped-conv lowerings of the scale discriminators
+    """The grouped-conv lowerings of the scale discriminators
     (`hg._grouped_conv1d`: feature_group_count / group-to-batch /
-    block-diagonal dense) are the same op — outputs and parameter
-    gradients must match f32-exactly (reassociation tolerance)."""
+    block-diagonal dense / custom-VJP per-direction combinations) are the
+    same op — outputs and parameter gradients must match f32-exactly
+    (reassociation tolerance)."""
     msd = hg.init_msd(jax.random.PRNGKey(4))
     for _ in range(8):  # converge spectral-norm u/v so grad scales are sane
         msd = hg.msd_power_iteration(msd)
