@@ -128,19 +128,31 @@ def synthesize(
         voc_params = jax.device_put(voc_params, rep)
         text = jax.device_put(text, batch_sharding(mesh, ndim=2))
         text_lengths = jax.device_put(text_lengths, batch_sharding(mesh, ndim=1))
-    mel_lengths = np.asarray(
-        jax.device_get(predict_lengths(
-            efts_params, text, text_lengths, efts_cfg,
-            duration_correction=duration_correction,
-        ))
-    )
+    mel_lengths = _to_host(predict_lengths(
+        efts_params, text, text_lengths, efts_cfg,
+        duration_correction=duration_correction,
+    ))
     t2 = min(bucket_length(int(mel_lengths.max()), bucket_multiple), max_t2)
     wav, wav_lengths, _ = synthesize_fixed(
         efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2,
         compute_dtype=compute_dtype, mrf_impl=mrf_impl,
         duration_correction=duration_correction,
     )
-    return np.asarray(jax.device_get(wav)), np.asarray(jax.device_get(wav_lengths))
+    return _to_host(wav), _to_host(wav_lengths)
+
+
+def _to_host(x) -> np.ndarray:
+    """Fetch a (possibly globally-sharded) device array as full numpy.
+
+    Under a multi-process mesh (serving sharded over hosts, SURVEY.md L5)
+    outputs are not fully addressable from any one process;
+    `process_allgather` assembles the global value on every host — the
+    serving-side analog of DDP's implicit all-reduce."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 # ---------------------------------------------------------------------------

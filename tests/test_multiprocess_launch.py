@@ -90,3 +90,54 @@ def test_two_process_dp_training(tmp_path):
     assert len(ckpt_lines) == 1, ckpt_lines
     path = ckpt_lines[0].split(" ", 1)[1]
     assert os.path.isdir(path), path
+
+
+SERVE_WORKER = os.path.join(REPO, "tests", "_mp_serve_worker.py")
+
+
+def test_two_process_dp_serving():
+    """Serving x distributed: `TTSEngine(mesh=...)` over a 2-process
+    8-device global mesh produces waveforms identical to the
+    single-process engine (round-2 VERDICT item 9). Outputs are
+    globally sharded, so the engine's host fetch goes through
+    `pipeline._to_host` -> `process_allgather`."""
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # never set (TPU-relay sitecustomize)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORM_NAME", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, SERVE_WORKER, coordinator, "2", str(pid)],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert "SERVE_OK" in out, f"proc {pid} did not finish:\n{out}"
+    # both processes observed identical waveform lengths
+    lens = [
+        line.split("lens=")[1]
+        for out in outs
+        for line in out.splitlines()
+        if "SERVE_OK" in line
+    ]
+    assert len(lens) == 2 and lens[0] == lens[1], lens
