@@ -119,8 +119,15 @@ def main(argv=None):
     shard_id = jax.process_index()
     num_shards = jax.process_count()
     per_host_batch = max(batch_size // num_shards, 1)
+    from efficient_tts_tpu.data.loader import background_prefetch
+
+    # background_prefetch collates the next batch on a worker thread
+    # while the device runs the current step (cross-epoch, unlike the
+    # per-epoch data_loader threads); device_prefetch then overlaps the
+    # host->device transfer. Identity of repeated whole-corpus batches
+    # is preserved through both.
     train_iter = device_prefetch(
-        infinite_loader(
+        background_prefetch(infinite_loader(
             train_ds, per_host_batch, collate,
             shard_id=shard_id, num_shards=num_shards,
             length_fn=(
@@ -128,7 +135,7 @@ def main(argv=None):
                 if config.get("length_bucketing", True)
                 else None
             ),
-        ),
+        )),
         size=2,
         mesh=mesh,
     )

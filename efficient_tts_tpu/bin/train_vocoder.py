@@ -104,10 +104,15 @@ def main(argv=None):
     mesh = make_mesh(
         data=fit_data_extent(args.batch_size, jax.local_device_count()), model=1
     )
-    train_iter = infinite_loader(
+    from efficient_tts_tpu.data.loader import background_prefetch
+
+    # outer prefetch decouples epochs from steps: on one-batch epochs the
+    # next batch's wav reads + segment mels collate while the device runs
+    # the current GAN step (measured 6.7 -> ~10 steps/s on the micro run)
+    train_iter = background_prefetch(infinite_loader(
         ds, args.batch_size, collate_mel_audio,
         shard_id=jax.process_index(), num_shards=jax.process_count(),
-    )
+    ))
     eval_step, eval_batches = None, []
     if args.dev_wav_scp:
         with open(args.dev_wav_scp) as f:

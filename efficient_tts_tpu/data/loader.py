@@ -169,3 +169,35 @@ def infinite_loader(dataset, batch_size, collate_fn, seed=0, **kw):
         ):
             yield epoch, batch
         epoch += 1
+
+
+def background_prefetch(iterator, size: int = 2):
+    """Run `iterator` on a daemon thread, buffering up to `size` items.
+
+    `infinite_loader` builds a fresh `data_loader` (and worker thread)
+    per epoch, so on one-batch epochs (e.g. the 30-wav micro vocoder
+    corpus at B=16) every step pays the full collate latency of a cold
+    loader — the wav reads + segment mels never overlap device compute.
+    This outer prefetcher decouples epochs from steps: the next batch is
+    collated while the device runs the current one. Object identity of
+    yielded items is preserved (the whole-corpus identity cache in
+    `device_prefetch`/the trainers keys on it)."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    done = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
