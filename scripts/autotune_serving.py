@@ -45,6 +45,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from efficient_tts_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     from efficient_tts_tpu.models import hifigan as hg
     from efficient_tts_tpu.models.hifigan import HiFiGANConfig, device_kind_slug
     from efficient_tts_tpu.nn.layers import fold_weight_norm

@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from efficient_tts_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 import optax
 
 from efficient_tts_tpu.models.hifigan import HiFiGANConfig

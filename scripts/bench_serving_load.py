@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from efficient_tts_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 SENTENCES = [
     # ~40 / ~90 / ~140 symbols after cleaning: spans 3 text buckets
     "The quick brown fox jumps over the dog.",
