@@ -31,6 +31,15 @@ def get_parser():
                         "matching the reference)")
     p.add_argument("--ema_decay", type=float, default=None,
                    help="track an EMA of generator weights for eval/serving")
+    p.add_argument("--lr_decay_steps", type=int, default=None,
+                   help="steps per lr_decay application (default: one "
+                   "epoch, the official HiFi-GAN semantics). The official "
+                   "config assumes LJ-scale epochs (~800 steps); on a "
+                   "tiny corpus 1-batch epochs decay 0.999 PER STEP and "
+                   "freeze the lr near zero within a few thousand steps "
+                   "- set this to ~800-1000 to keep reference-like decay "
+                   "dynamics (measured: the micro vocoder run plateaued "
+                   "from step ~5k with lr ~1e-6 until this was exposed)")
     p.add_argument("--fine_tuning", action="store_true",
                    help="GTA fine-tuning: generator input from --base_mels_path")
     p.add_argument("--base_mels_path", default=None,
@@ -84,7 +93,7 @@ def main(argv=None):
         fine_tuning=args.fine_tuning,
         base_mels_path=args.base_mels_path,
     )
-    steps_per_epoch = max(len(ds) // args.batch_size, 1)
+    steps_per_epoch = args.lr_decay_steps or max(len(ds) // args.batch_size, 1)
 
     gen_tx = hifigan_adam(lr, betas, lr_decay, steps_per_epoch)
     disc_tx = hifigan_adam(lr, betas, lr_decay, steps_per_epoch)

@@ -34,6 +34,13 @@ def main():
     )
     ap.add_argument("--outdir", default="exp/micro_efts/copysynth")
     ap.add_argument("--bucket", type=int, default=64, help="mel-frame bucket")
+    ap.add_argument(
+        "--peak_normalize", action="store_true",
+        help="peak-normalize (0.95/|x|max) the golden wav before mel "
+        "analysis, matching the vocoder TRAINING input distribution "
+        "(`MelAudioSegmentDataset._load_audio`); diagnoses train/test "
+        "level mismatch in the copy-synthesis score",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -56,10 +63,19 @@ def main():
     mel_cfg = MelConfig()
 
     mels = {}
+    gains = {}
     for p in sorted(glob.glob(os.path.join(args.ref_dir, "*.wav"))):
         audio, sr = load_wav_float(p)
         assert sr == mel_cfg.sample_rate, (p, sr)
         name = os.path.splitext(os.path.basename(p))[0].split("_")[0]
+        gains[name] = 1.0
+        if args.peak_normalize:
+            peak = float(np.abs(audio).max())
+            if peak > 0:
+                audio = audio / peak * 0.95
+                # undo on the output so the score vs the UN-normalized
+                # golden stays level-matched
+                gains[name] = peak / 0.95
         mels[name] = mel_spectrogram_np(audio, mel_cfg).T  # [T, 80]
     # one padded shape for every utterance -> one XLA compile
     t_max = max(m.shape[0] for m in mels.values())
@@ -72,7 +88,7 @@ def main():
             compute_dtype=jnp.bfloat16, pack_small_channels=True,
             mrf_impl="auto",
         )
-        wav = np.asarray(wav)[0, : t * mel_cfg.hop_size]
+        wav = np.asarray(wav)[0, : t * mel_cfg.hop_size] * gains[name]
         out = os.path.join(args.outdir, f"{name}_copysynth.wav")
         pcm = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
         wav_write(out, sr, pcm)
