@@ -55,8 +55,8 @@ def build_engine(compute_dtype):
     voc_params = fold_weight_norm(hg.init_generator(jax.random.PRNGKey(1), voc_cfg))
     # pin durations to ~5.5 frames/symbol: log(5.5 + offset 1.0) = 1.872
     out = efts_params["duration_predictor"]["out"]
-    out["kernel"] = np.zeros_like(out["kernel"])
-    out["bias"] = np.full_like(out["bias"], np.log(6.5))
+    out["w"] = np.zeros_like(out["w"])
+    out["b"] = np.full_like(out["b"], np.log(6.5))
     return TTSEngine(
         efts_params, voc_params, efts_cfg, voc_cfg,
         max_batch=16, compute_dtype=compute_dtype, mrf_impl="auto",
