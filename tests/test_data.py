@@ -217,3 +217,34 @@ def test_infinite_loader_never_caches_stochastic_datasets(corpus):
     # split=False (whole utterances, e.g. eval) is deterministic again
     ds_eval = MelAudioSegmentDataset(files, segment_size=8192, split=False)
     assert ds_eval.deterministic_items is True
+
+
+def test_background_prefetch_identity_and_errors(corpus):
+    """The cross-epoch prefetcher preserves object identity of repeated
+    whole-corpus batches (the placement cache keys on it) and propagates
+    iterator exceptions to the consumer."""
+    from efficient_tts_tpu.data.loader import background_prefetch
+
+    ds = TextMelDataset(
+        corpus["filelist"],
+        wav_path=corpus["wavdir"],
+        use_phnseq=True,
+        phnset_path=corpus["phnset"],
+    )
+    collate = lambda items: collate_text_mel(items, text_bucket=8, mel_bucket=32)
+    it = background_prefetch(infinite_loader(ds, len(ds), collate))
+    _, b0 = next(it)
+    _, b1 = next(it)
+    assert b1 is b0  # identity preserved through the queue
+
+    def boom():
+        yield 1
+        raise RuntimeError("collate failed")
+
+    it2 = background_prefetch(boom())
+    assert next(it2) == 1
+    with pytest.raises(RuntimeError, match="collate failed"):
+        next(it2)
+
+    # finite iterators terminate cleanly
+    assert list(background_prefetch(iter([1, 2, 3]))) == [1, 2, 3]
