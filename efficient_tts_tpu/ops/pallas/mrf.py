@@ -180,7 +180,7 @@ def mrf_stage(
 
     n_branches = len(kernel_sizes)
     max_kc = max(kernel_sizes) * c
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for _ in range(n_branches):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
