@@ -18,6 +18,11 @@ expdir=${root}/exp/micro_efts
 vocdir=${root}/exp/micro_hifigan
 efts_steps=20000
 voc_steps=4000
+# Official HiFi-GAN decays lr x0.999 per EPOCH assuming LJ-scale epochs
+# (~800 steps); on this 30-wav corpus an epoch is ONE step, which froze
+# the round-2 vocoder near lr=0 from ~5k steps (VALIDATION.md 3a).
+# Decay per ~1000 steps keeps reference-like dynamics at micro scale.
+voc_lr_decay_steps=1000
 
 . ../cmd.sh
 . ../parse_options.sh
@@ -46,7 +51,8 @@ if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
         --wav_scp exp/micro_corpus/train_wavs.txt \
         --outdir exp/micro_hifigan \
         --batch_size 16 --compute_dtype bfloat16 \
-        --train_max_steps ${voc_steps} --ema_decay 0.999
+        --train_max_steps ${voc_steps} --ema_decay 0.999 \
+        --lr_decay_steps ${voc_lr_decay_steps}
 fi
 
 if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
