@@ -18,6 +18,7 @@ allocation-free.
 from __future__ import annotations
 
 import functools
+import time
 
 import numpy as np
 import jax
@@ -43,7 +44,7 @@ def _maybe_correct(e, text_lengths, efts_cfg, duration_correction):
     jax.jit,
     static_argnames=(
         "efts_cfg", "voc_cfg", "t2", "compute_dtype", "mrf_impl",
-        "duration_correction",
+        "duration_correction", "output",
     ),
 )
 def synthesize_fixed(
@@ -57,6 +58,7 @@ def synthesize_fixed(
     compute_dtype=None,
     mrf_impl: str = "xla",
     duration_correction: bool = False,
+    output: str = "f32",
 ):
     """Fully jitted text -> waveform at a static mel length `t2`.
 
@@ -66,6 +68,10 @@ def synthesize_fixed(
     `duration_correction` opts into the analytic last-token truncation
     correction (`ops/alignment.py:boundary_truncation_correction`;
     default off = reference parity).
+    `output="pcm16"` quantizes the waveform to int16 PCM *on device*
+    (same clip+scale+truncate as `serve.encode_wav_bytes`) so the
+    device->host transfer moves 4x fewer bytes — the dominant serving
+    cost over a relay-attached chip.
     """
     m = model_module_for(efts_cfg)
     e, value, tmask = m.infer_durations(efts_params, efts_cfg, text, text_lengths)
@@ -82,6 +88,10 @@ def synthesize_fixed(
     )
     wav_lengths = mel_lengths * voc_cfg.hop_size
     wav = wav * sequence_mask(wav_lengths, t2 * voc_cfg.hop_size, dtype=wav.dtype)
+    if output == "pcm16":
+        wav = jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+    elif output != "f32":
+        raise ValueError(f"output={output!r}: expected 'f32' or 'pcm16'")
     return wav, wav_lengths, mel
 
 
@@ -99,6 +109,75 @@ def predict_lengths(
     return jnp.round(last).astype(jnp.int32)
 
 
+def synthesize_dispatch(
+    efts_params: dict,
+    voc_params: dict,
+    text: np.ndarray,
+    text_lengths: np.ndarray,
+    efts_cfg: EftsCNNConfig = EftsCNNConfig(),
+    voc_cfg: HiFiGANConfig = HiFiGANConfig(),
+    bucket_multiple: int = 64,
+    max_t2: int = 2048,
+    compute_dtype=None,
+    mesh=None,
+    mrf_impl: str = "xla",
+    duration_correction: bool = False,
+    output: str = "f32",
+    timings: dict | None = None,
+):
+    """Dispatch batched synthesis; do NOT fetch the waveform.
+
+    Runs stage 1 (duration prediction + the one unavoidable host
+    readback that picks the mel bucket), dispatches the fully-jitted
+    stage 2, kicks off an async device->host copy of the result, and
+    returns ``(wav_device, wav_lengths_numpy)``. The caller fetches the
+    waveform later (`_to_host`) — overlapping that transfer with the
+    next batch's dispatch is how serving hides the relay's bandwidth
+    (the trainers' lagged-fetch pattern applied to inference).
+
+    ``wav_lengths`` is computed on the host from the stage-1 readback
+    (identical to stage 2's device value: clip(round(e_last), 1, t2) *
+    hop), so no second readback is needed.
+
+    If ``timings`` is a dict, it receives {"stage1_s", "dispatch_s",
+    "t2"} wall splits for attribution.
+    """
+    t_a = _now()
+    if mesh is not None:
+        from efficient_tts_tpu.parallel.sharding import batch_sharding, replicated
+
+        rep = replicated(mesh)
+        efts_params = jax.device_put(efts_params, rep)
+        voc_params = jax.device_put(voc_params, rep)
+        text = jax.device_put(text, batch_sharding(mesh, ndim=2))
+        text_lengths = jax.device_put(text_lengths, batch_sharding(mesh, ndim=1))
+    mel_lengths = _to_host(predict_lengths(
+        efts_params, text, text_lengths, efts_cfg,
+        duration_correction=duration_correction,
+    ))
+    t_b = _now()
+    t2 = min(bucket_length(int(mel_lengths.max()), bucket_multiple), max_t2)
+    wav, _, _ = synthesize_fixed(
+        efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2,
+        compute_dtype=compute_dtype, mrf_impl=mrf_impl,
+        duration_correction=duration_correction, output=output,
+    )
+    if getattr(wav, "is_fully_addressable", True):
+        try:
+            wav.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass  # fetch will do a plain blocking copy
+    wav_lengths = np.clip(mel_lengths, 1, t2).astype(np.int64) * voc_cfg.hop_size
+    if timings is not None:
+        timings["stage1_s"] = t_b - t_a
+        timings["dispatch_s"] = _now() - t_b
+        timings["t2"] = t2
+    return wav, wav_lengths.astype(np.int32)
+
+
+_now = time.perf_counter
+
+
 def synthesize(
     efts_params: dict,
     voc_params: dict,
@@ -112,6 +191,7 @@ def synthesize(
     mesh=None,
     mrf_impl: str = "xla",
     duration_correction: bool = False,
+    output: str = "f32",
 ):
     """Host-driven batched synthesis with automatic bucket selection.
 
@@ -120,25 +200,13 @@ def synthesize(
     batch size).
     Returns (wav [B, T_bucket*hop] numpy, wav_lengths [B] numpy).
     """
-    if mesh is not None:
-        from efficient_tts_tpu.parallel.sharding import batch_sharding, replicated
-
-        rep = replicated(mesh)
-        efts_params = jax.device_put(efts_params, rep)
-        voc_params = jax.device_put(voc_params, rep)
-        text = jax.device_put(text, batch_sharding(mesh, ndim=2))
-        text_lengths = jax.device_put(text_lengths, batch_sharding(mesh, ndim=1))
-    mel_lengths = _to_host(predict_lengths(
-        efts_params, text, text_lengths, efts_cfg,
-        duration_correction=duration_correction,
-    ))
-    t2 = min(bucket_length(int(mel_lengths.max()), bucket_multiple), max_t2)
-    wav, wav_lengths, _ = synthesize_fixed(
-        efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2,
-        compute_dtype=compute_dtype, mrf_impl=mrf_impl,
-        duration_correction=duration_correction,
+    wav, wav_lengths = synthesize_dispatch(
+        efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg,
+        bucket_multiple=bucket_multiple, max_t2=max_t2,
+        compute_dtype=compute_dtype, mesh=mesh, mrf_impl=mrf_impl,
+        duration_correction=duration_correction, output=output,
     )
-    return _to_host(wav), _to_host(wav_lengths)
+    return _to_host(wav), wav_lengths
 
 
 def _to_host(x) -> np.ndarray:

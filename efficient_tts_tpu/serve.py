@@ -37,12 +37,18 @@ log = logging.getLogger(__name__)
 
 
 def encode_wav_bytes(wav: np.ndarray, sampling_rate: int) -> bytes:
-    """float32 waveform in (-1, 1) -> 16-bit PCM RIFF/WAV bytes.
+    """float32 waveform in (-1, 1) — or int16 PCM — -> RIFF/WAV bytes.
 
     Same output format as the reference's synthesis artifacts
-    (22050 Hz PCM_16 per SURVEY.md; `inference.py:115-124`)."""
-    pcm = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
+    (22050 Hz PCM_16 per SURVEY.md; `inference.py:115-124`; rounding
+    matches libsndfile's float->PCM_16 conversion). int16 input (the
+    engine's device-quantized transfer format) passes through."""
+    wav = np.asarray(wav)
+    if wav.dtype == np.int16:
+        pcm = wav.astype("<i2")
+    else:
+        pcm = np.clip(wav.astype(np.float32), -1.0, 1.0)
+        pcm = np.round(pcm * 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -59,6 +65,14 @@ class EngineStats:
     audio_seconds: float = 0.0
     compute_seconds: float = 0.0
     batch_sizes: list = field(default_factory=list)
+    # per-phase wall attribution (summed over batches; dispatch-side
+    # phases and the fetch overlap under pipelining, so these sums can
+    # legitimately exceed the wall clock)
+    lock_wait_seconds: float = 0.0
+    stage1_seconds: float = 0.0  # duration predict + bucket readback
+    dispatch_seconds: float = 0.0  # stage-2 jit dispatch (async)
+    fetch_seconds: float = 0.0  # device->host waveform transfer wait
+    device_seconds: float = 0.0  # only with detailed_timing (blocking)
 
     def as_dict(self) -> dict:
         mean_b = float(np.mean(self.batch_sizes)) if self.batch_sizes else 0.0
@@ -71,7 +85,23 @@ class EngineStats:
             "mean_batch_size": round(mean_b, 2),
             "rtf": round(rtf, 6),
             "audio_s_per_s": round(1.0 / max(rtf, 1e-9), 1),
+            "lock_wait_seconds": round(self.lock_wait_seconds, 3),
+            "stage1_seconds": round(self.stage1_seconds, 3),
+            "dispatch_seconds": round(self.dispatch_seconds, 3),
+            "fetch_seconds": round(self.fetch_seconds, 3),
+            "device_seconds": round(self.device_seconds, 3),
         }
+
+
+@dataclass
+class _BatchHandle:
+    """A dispatched-but-not-fetched serving micro-batch."""
+
+    wav: object  # device array [max_batch, t2*hop] (f32 or int16)
+    wav_lengths: np.ndarray  # [max_batch] true sample counts (host)
+    n: int  # real (non-padding) utterances
+    t0: float  # dispatch-entry wall time
+    timings: dict  # phase attribution (lock_wait/stage1/dispatch/...)
 
 
 class TTSEngine:
@@ -98,6 +128,9 @@ class TTSEngine:
         phone_vocab: dict | None = None,
         cleaner_names=("english_cleaners",),
         mesh=None,
+        pcm16_transfer: bool = True,
+        pipeline_fetch: bool = True,
+        detailed_timing: bool = False,
     ):
         from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
         from efficient_tts_tpu.models.hifigan import HiFiGANConfig
@@ -138,8 +171,21 @@ class TTSEngine:
         self.mrf_impl = mrf_impl if mesh is None else "xla"
         self.phone_vocab = phone_vocab
         self.cleaner_names = tuple(cleaner_names)
+        # pcm16_transfer: quantize waveforms to int16 *on device* and move
+        # 4x fewer bytes over the (relay-attached) host link; the engine
+        # still returns float32 (exactly pcm/32767, so re-encoding to WAV
+        # is byte-identical to the device PCM). pipeline_fetch: overlap
+        # batch k's device->host transfer with batch k+1's dispatch
+        # (the trainers' lagged-fetch pattern; see synthesize_ids and
+        # DynamicBatcher's fetch thread). detailed_timing: block after
+        # stage-2 dispatch to split device compute from transfer wait —
+        # attribution runs only (it defeats pipelining).
+        self.pcm16_transfer = bool(pcm16_transfer)
+        self.pipeline_fetch = bool(pipeline_fetch)
+        self.detailed_timing = bool(detailed_timing)
         self.stats = EngineStats()
         self._lock = threading.Lock()
+        self._stats_lock = threading.Lock()
 
     # -- text front-end ----------------------------------------------------
 
@@ -161,19 +207,41 @@ class TTSEngine:
     # -- synthesis ---------------------------------------------------------
 
     def synthesize_ids(self, seqs: list) -> list:
-        """list of int32 id sequences -> list of float32 waveforms."""
+        """list of int32 id sequences -> list of float32 waveforms.
+
+        With ``pipeline_fetch`` the device->host transfer of each
+        micro-batch overlaps the next micro-batch's dispatch."""
         out: list = [None] * len(seqs)
+
+        def drain(lo_handle):
+            lo, handle = lo_handle
+            for i, w in enumerate(self._fetch_batch(handle)):
+                out[lo + i] = w
+
+        pending = None
         for lo in range(0, len(seqs), self.max_batch):
-            chunk = seqs[lo : lo + self.max_batch]
-            for i, wav in enumerate(self._run_batch(chunk)):
-                out[lo + i] = wav
+            handle = self._dispatch_batch(seqs[lo : lo + self.max_batch])
+            if self.pipeline_fetch:
+                if pending is not None:
+                    drain(pending)
+                pending = (lo, handle)
+            else:
+                drain((lo, handle))
+        if pending is not None:
+            drain(pending)
         return out
 
     def synthesize(self, texts: list) -> list:
         return self.synthesize_ids([self.encode(t) for t in texts])
 
-    def _run_batch(self, seqs: list) -> list:
-        from efficient_tts_tpu.pipeline import synthesize
+    def _dispatch_batch(self, seqs: list) -> "_BatchHandle":
+        """Pad/bucket a micro-batch and dispatch it; no waveform fetch.
+
+        Holds the engine lock only for the dispatch side: the stage-1
+        duration readback (one small RTT, it picks the mel bucket) and
+        the async stage-2 dispatch. The bulky waveform transfer happens
+        in `_fetch_batch`, outside the lock."""
+        from efficient_tts_tpu.pipeline import synthesize_dispatch
         from efficient_tts_tpu.utils.masks import bucket_length
 
         n = len(seqs)
@@ -190,9 +258,11 @@ class TTSEngine:
         full_lengths = np.ones((self.max_batch,), np.int32)
         full_lengths[:n] = lengths
 
+        timings: dict = {}
         t0 = time.perf_counter()
         with self._lock:
-            wav, wav_lengths = synthesize(
+            t_lock = time.perf_counter()
+            wav, wav_lengths = synthesize_dispatch(
                 self.efts_params,
                 self.voc_params,
                 text,
@@ -204,17 +274,54 @@ class TTSEngine:
                 compute_dtype=self.compute_dtype,
                 mrf_impl=self.mrf_impl,
                 mesh=self.mesh,
+                output="pcm16" if self.pcm16_transfer else "f32",
+                timings=timings,
             )
-        dt = time.perf_counter() - t0
+            if self.detailed_timing:
+                # attribution mode: block so fetch measures pure transfer
+                import jax
 
-        wavs = [np.asarray(wav[i, : int(wav_lengths[i])]) for i in range(n)]
+                t_d = time.perf_counter()
+                jax.block_until_ready(wav)
+                timings["device_block_s"] = time.perf_counter() - t_d
+        timings["lock_wait_s"] = t_lock - t0
+        return _BatchHandle(wav=wav, wav_lengths=wav_lengths, n=n, t0=t0,
+                            timings=timings)
+
+    def _fetch_batch(self, handle: "_BatchHandle") -> list:
+        """Fetch a dispatched micro-batch's waveforms (no engine lock)."""
+        from efficient_tts_tpu.pipeline import _to_host
+
+        t_f = time.perf_counter()
+        wav = _to_host(handle.wav)
+        fetch_s = time.perf_counter() - t_f
+        wavs = []
+        for i in range(handle.n):
+            w = wav[i, : int(handle.wav_lengths[i])]
+            if w.dtype == np.int16:
+                # exact reconstruction of the device quantization; WAV
+                # re-encoding (round) recovers the identical PCM bytes
+                w = w.astype(np.float32) / 32767.0
+            wavs.append(w)
+        t = handle.timings
         sr = self.voc_cfg.sampling_rate
-        self.stats.requests += n
-        self.stats.batches += 1
-        self.stats.batch_sizes.append(n)
-        self.stats.audio_seconds += sum(len(w) for w in wavs) / sr
-        self.stats.compute_seconds += dt
+        with self._stats_lock:
+            s = self.stats
+            s.requests += handle.n
+            s.batches += 1
+            s.batch_sizes.append(handle.n)
+            s.audio_seconds += sum(len(w) for w in wavs) / sr
+            s.compute_seconds += time.perf_counter() - handle.t0
+            s.lock_wait_seconds += t.get("lock_wait_s", 0.0)
+            s.stage1_seconds += t.get("stage1_s", 0.0)
+            s.dispatch_seconds += t.get("dispatch_s", 0.0)
+            s.fetch_seconds += fetch_s
+            s.device_seconds += t.get("device_block_s", 0.0)
         return wavs
+
+    def _run_batch(self, seqs: list) -> list:
+        """Serial dispatch+fetch of one micro-batch (warmup, tests)."""
+        return self._fetch_batch(self._dispatch_batch(seqs))
 
     def stream(self, text: str, chunk_frames: int = 64, overlap_frames: int = 24):
         """Yield float32 waveform chunks for one utterance.
@@ -297,11 +404,32 @@ class DynamicBatcher:
 
     _STOP = object()
 
-    def __init__(self, engine, max_batch: int | None = None, max_wait_ms: float = 10.0):
+    def __init__(self, engine, max_batch: int | None = None,
+                 max_wait_ms: float = 10.0, pipeline_depth: int = 2):
         self.engine = engine
         self.max_batch = max_batch or engine.max_batch
         self.max_wait = max_wait_ms / 1000.0
         self._q: queue.Queue = queue.Queue()
+        # dispatch->fetch pipeline: the gather thread dispatches batches
+        # to the device and hands them to a fetch thread, so batch k's
+        # device->host waveform transfer overlaps batch k+1's dispatch
+        # and device compute. pipeline_depth bounds dispatch-ahead
+        # (backpressure keeps device-queue latency in check). Engines
+        # without the dispatch/fetch split (plain synthesize_ids duck
+        # type) run the old serial path.
+        self._pipelined = (
+            getattr(engine, "pipeline_fetch", False)
+            and hasattr(engine, "_dispatch_batch")
+            # one gathered batch must fit one engine micro-batch
+            and self.max_batch <= getattr(engine, "max_batch", 0)
+        )
+        self._fetch_q: queue.Queue = queue.Queue(maxsize=max(1, pipeline_depth))
+        self._fetch_thread = None
+        if self._pipelined:
+            self._fetch_thread = threading.Thread(
+                target=self._fetch_loop, daemon=True
+            )
+            self._fetch_thread.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -313,6 +441,8 @@ class DynamicBatcher:
     def close(self) -> None:
         self._q.put(self._STOP)
         self._thread.join(timeout=5)
+        if self._fetch_thread is not None:
+            self._fetch_thread.join(timeout=5)
 
     def _gather(self):
         first = self._q.get()
@@ -338,6 +468,8 @@ class DynamicBatcher:
         while True:
             items = self._gather()
             if items is None:
+                if self._fetch_thread is not None:
+                    self._fetch_q.put(self._STOP)
                 return
             # encode per request so one bad text fails only its own future
             # instead of poisoning the whole coalesced batch
@@ -350,9 +482,36 @@ class DynamicBatcher:
             if not good:
                 continue
             futs = [f for _, f in good]
+            seqs = [s for s, _ in good]
+            if self._pipelined:
+                # gathered batches never exceed max_batch, so one
+                # dispatch covers the whole coalesced batch
+                try:
+                    handle = self.engine._dispatch_batch(seqs)
+                except Exception as e:  # noqa: BLE001
+                    for f in futs:
+                        f.set_exception(e)
+                    continue
+                self._fetch_q.put((handle, futs))
+                continue
             try:
-                wavs = self.engine.synthesize_ids([s for s, _ in good])
+                wavs = self.engine.synthesize_ids(seqs)
             except Exception as e:  # noqa: BLE001 - propagate per-request
+                for f in futs:
+                    f.set_exception(e)
+                continue
+            for f, w in zip(futs, wavs):
+                f.set_result(w)
+
+    def _fetch_loop(self) -> None:
+        while True:
+            item = self._fetch_q.get()
+            if item is self._STOP:
+                return
+            handle, futs = item
+            try:
+                wavs = self.engine._fetch_batch(handle)
+            except Exception as e:  # noqa: BLE001
                 for f in futs:
                     f.set_exception(e)
                 continue

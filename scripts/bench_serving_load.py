@@ -39,7 +39,7 @@ SENTENCES = [
 ]
 
 
-def build_engine(compute_dtype):
+def build_engine(compute_dtype, legacy=False, detailed=False):
     import jax
 
     from efficient_tts_tpu.models import efficient_tts as efts
@@ -60,6 +60,11 @@ def build_engine(compute_dtype):
     return TTSEngine(
         efts_params, voc_params, efts_cfg, voc_cfg,
         max_batch=16, compute_dtype=compute_dtype, mrf_impl="auto",
+        # legacy reproduces the round-3 serving path (f32 transfer, no
+        # dispatch/fetch overlap) for before/after attribution
+        pcm16_transfer=not legacy,
+        pipeline_fetch=not legacy,
+        detailed_timing=detailed,
     )
 
 
@@ -98,6 +103,7 @@ def run_load(engine, qps: float, duration_s: float, rng) -> dict:
     wall = duration_s
     lat_ms = np.sort(np.array(lat)) * 1e3
     s = engine.stats
+    nb = max(s.batches, 1)
     return {
         "offered_qps": qps,
         "completed": len(lat),
@@ -107,6 +113,15 @@ def run_load(engine, qps: float, duration_s: float, rng) -> dict:
         "mean_batch": round(float(np.mean(s.batch_sizes)), 2),
         "audio_s_per_s": round(s.audio_seconds / wall, 1),
         "device_util": round(s.compute_seconds / wall, 3),
+        # per-batch phase attribution (ms): where a batch's wall goes
+        "per_batch_ms": {
+            "lock_wait": round(1e3 * s.lock_wait_seconds / nb, 1),
+            "stage1_readback": round(1e3 * s.stage1_seconds / nb, 1),
+            "dispatch": round(1e3 * s.dispatch_seconds / nb, 1),
+            "device_compute": round(1e3 * s.device_seconds / nb, 1),
+            "wav_fetch": round(1e3 * s.fetch_seconds / nb, 1),
+            "total": round(1e3 * s.compute_seconds / nb, 1),
+        },
     }
 
 
@@ -117,12 +132,18 @@ def main():
     ap.add_argument("--compute_dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--json_out", default=None)
+    ap.add_argument("--legacy", action="store_true",
+                    help="round-3 path: f32 transfer, no fetch overlap")
+    ap.add_argument("--attribution", action="store_true",
+                    help="block after stage-2 dispatch to split device "
+                         "compute from transfer wait (defeats pipelining; "
+                         "use for the phase table, not throughput)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
 
     cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
-    engine = build_engine(cdt)
+    engine = build_engine(cdt, legacy=args.legacy, detailed=args.attribution)
     # warm every (t1, t2) bucket the sentences hit, batched and solo
     for s in SENTENCES:
         engine.synthesize([s])

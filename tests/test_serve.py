@@ -73,8 +73,8 @@ def test_engine_batch_padding_invariance():
     ids = eng.encode("The same utterance.")
     solo = eng.synthesize_ids([ids])[0]
     group = eng.synthesize_ids([ids, eng.encode("Another one entirely."), ids])
-    np.testing.assert_allclose(solo, group[0], atol=2e-5)
-    np.testing.assert_allclose(solo, group[2], atol=2e-5)
+    np.testing.assert_allclose(solo, group[0], atol=1e-4)
+    np.testing.assert_allclose(solo, group[2], atol=1e-4)
 
 
 def test_engine_rejects_bad_text():
@@ -222,7 +222,7 @@ def test_engine_stream_matches_batch():
     # interiors are exact; the last ~receptive-field frames differ between
     # the exact-edge streaming window and the zero-mel-padded batch bucket
     n = len(batch_wav) - 20 * VOC_CFG.hop_size
-    np.testing.assert_allclose(streamed[:n], batch_wav[:n], atol=2e-5)
+    np.testing.assert_allclose(streamed[:n], batch_wav[:n], atol=1e-4)
 
 
 def test_http_stream_roundtrip():
@@ -280,4 +280,4 @@ def test_engine_mesh_data_parallel_matches_single_chip():
     assert len(out) == len(ref)
     for a, b in zip(out, ref):
         assert a.shape == b.shape
-        np.testing.assert_allclose(a, b, atol=2e-5)
+        np.testing.assert_allclose(a, b, atol=1e-4)
