@@ -35,7 +35,16 @@ def get_parser():
         "--duration_correction", action="store_true",
         help="apply the analytic last-token truncation correction to "
         "predicted durations (ops/alignment.py:boundary_truncation_"
-        "correction; default off = reference parity)",
+        "correction; default off = reference parity). Gated per "
+        "utterance on the correction's own validity model: only applied "
+        "where the predicted bias exceeds --duration_correction_threshold "
+        "of total length, so it helps short texts and is a no-op at LJ "
+        "shapes (where ungated it overshoots, VALIDATION.md 3b)",
+    )
+    p.add_argument(
+        "--duration_correction_threshold", type=float, default=0.02,
+        help="relative-bias gate for --duration_correction "
+        "(0 = always apply, the ungated round-3 behavior)",
     )
     return p
 
@@ -115,7 +124,10 @@ def main(argv=None):
         t0 = time.time()
         wav, wav_lengths = synthesize(
             efts_params, voc_params, text_ids, lengths, cfg, voc_cfg,
-            duration_correction=args.duration_correction,
+            duration_correction=(
+                args.duration_correction_threshold
+                if args.duration_correction else False
+            ),
         )
         dt = time.time() - t0
         total_time += dt

@@ -140,7 +140,8 @@ def alignment_from_positions(
 
 
 def boundary_truncation_correction(
-    e: jnp.ndarray, text_lengths: jnp.ndarray, sigma_e: float = 0.5
+    e: jnp.ndarray, text_lengths: jnp.ndarray, sigma_e: float = 0.5,
+    rel_threshold: float = 0.0,
 ) -> jnp.ndarray:
     """Analytic last-token truncation correction for aligned positions.
 
@@ -160,11 +161,24 @@ def boundary_truncation_correction(
     uncorrected e[:, last] as the T2-1 estimate (second-order error
     O(shift/T2)). Opt-in at inference (`duration_correction` flags);
     default off preserves reference parity.
+
+    ``rel_threshold`` gates the correction on its own validity model:
+    the shift is applied per utterance only where it exceeds that
+    fraction of the predicted total length. The predictor's measured
+    miscalibration floor is ~1-1.2% (VALIDATION.md 2a), so below ~2%
+    predicted bias the always-positive shift is indistinguishable from
+    noise and measurably overshoots (round-3 LJ shapes: duration error
+    1.6% -> 2.5% ungated). rel_threshold=0 reproduces the unconditional
+    round-3 behavior; the serving/CLI default is 0.02, which makes the
+    flag a no-op at LJ's T1~100 (bias <1%) and active at short T1 where
+    the 1/T1-scaled bias is real (~7% at T1=12).
     """
     idx_last = (text_lengths - 1)[:, None]
     e_last = jnp.take_along_axis(e, idx_last, axis=1)
     t1m1 = jnp.maximum(text_lengths.astype(e.dtype) - 1.0, 1.0)[:, None]
     tau = e_last / (t1m1 * jnp.sqrt(2.0 * sigma_e))
     shift = tau * jnp.sqrt(jnp.asarray(2.0 / jnp.pi, e.dtype))
+    if rel_threshold:
+        shift = jnp.where(shift > rel_threshold * e_last, shift, 0.0)
     pos = jnp.arange(e.shape[1])[None, :]
     return e + jnp.where(pos >= idx_last, shift, 0.0)

@@ -33,11 +33,18 @@ from efficient_tts_tpu.utils.masks import bucket_length, sequence_mask
 
 
 def _maybe_correct(e, text_lengths, efts_cfg, duration_correction):
-    if not duration_correction:
+    """duration_correction: False/None = off (reference parity);
+    True = gated correction at the default 2% validity threshold;
+    a float = gate threshold (0.0 = always apply, the round-3 behavior).
+    See ops/alignment.py:boundary_truncation_correction."""
+    if duration_correction is False or duration_correction is None:
         return e
     from efficient_tts_tpu.ops.alignment import boundary_truncation_correction
 
-    return boundary_truncation_correction(e, text_lengths, efts_cfg.sigma_e)
+    thresh = 0.02 if duration_correction is True else float(duration_correction)
+    return boundary_truncation_correction(
+        e, text_lengths, efts_cfg.sigma_e, rel_threshold=thresh
+    )
 
 
 @functools.partial(

@@ -164,3 +164,49 @@ def test_duration_correction_flag():
         efts_params, voc_params, text, t1s, EFTS_CFG, VOC_CFG, bucket_multiple=32
     )
     assert (len_on >= len_off).all()
+
+
+def test_duration_correction_validity_gate():
+    """The correction is gated on its own validity model (round-4): the
+    analytic shift applies only where it exceeds rel_threshold of the
+    predicted length. Relative bias is sqrt(2/pi)/((T1-1) sqrt(2 sigma_e)),
+    so short rows shift and long rows are a no-op at the same threshold."""
+    import jax.numpy as jnp
+
+    from efficient_tts_tpu.ops.alignment import boundary_truncation_correction
+
+    B, T1 = 2, 120
+    t1s = np.array([12, 120], np.int32)  # rel bias ~7.3% vs ~0.7% (sigma_e=.5)
+    e = np.tile(np.linspace(1.0, 600.0, T1, dtype=np.float32), (B, 1))
+    out = np.asarray(boundary_truncation_correction(
+        jnp.asarray(e), jnp.asarray(t1s), 0.5, rel_threshold=0.02
+    ))
+    # short row: shifted at/after its last valid token
+    assert out[0, t1s[0] - 1] > e[0, t1s[0] - 1]
+    # long row: below the gate -> bit-identical
+    np.testing.assert_array_equal(out[1], e[1])
+    # rel_threshold=0 = unconditional (round-3 behavior): both rows shift
+    out0 = np.asarray(boundary_truncation_correction(
+        jnp.asarray(e), jnp.asarray(t1s), 0.5, rel_threshold=0.0
+    ))
+    assert (out0[0, t1s[0] - 1] > e[0, t1s[0] - 1]
+            and out0[1, t1s[1] - 1] > e[1, t1s[1] - 1])
+
+    # pipeline threading: float threshold is accepted as the static flag
+    efts_params, voc_params = _params()
+    rng = np.random.default_rng(1)
+    text = np.zeros((2, 24), np.int32)
+    tls = np.array([24, 16], np.int32)
+    for i, t1 in enumerate(tls):
+        text[i, :t1] = rng.integers(1, 40, size=t1)
+    # threshold 1.0 (100% of length) can never trigger -> equals off
+    off = np.asarray(predict_lengths(efts_params, text, tls, EFTS_CFG))
+    gated_out = np.asarray(predict_lengths(
+        efts_params, text, tls, EFTS_CFG, duration_correction=1.0
+    ))
+    np.testing.assert_array_equal(off, gated_out)
+    # True = gated at 2%: these short rows (~3.5%/5.3% bias) still shift
+    on = np.asarray(predict_lengths(
+        efts_params, text, tls, EFTS_CFG, duration_correction=True
+    ))
+    assert (on >= off).all() and (on > off).any()
