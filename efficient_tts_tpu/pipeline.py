@@ -80,6 +80,34 @@ def synthesize_fixed(
     device->host transfer moves 4x fewer bytes — the dominant serving
     cost over a relay-attached chip.
     """
+    return synthesize_body(
+        efts_params, voc_params, text, text_lengths, efts_cfg, voc_cfg, t2,
+        compute_dtype=compute_dtype, mrf_impl=mrf_impl,
+        duration_correction=duration_correction, output=output,
+    )
+
+
+def synthesize_body(
+    efts_params: dict,
+    voc_params: dict,
+    text: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    efts_cfg: EftsCNNConfig,
+    voc_cfg: HiFiGANConfig,
+    t2: int,
+    compute_dtype=None,
+    mrf_impl: str = "xla",
+    duration_correction: bool = False,
+    output: str = "f32",
+    mrf_strategy=None,
+    ups_impl: str = "auto",
+):
+    """Traced body of `synthesize_fixed` (callable under a caller's jit).
+
+    Exposes the generator's per-stage `mrf_strategy` / `ups_impl`
+    overrides so the serving autotuner can time candidate tables in the
+    FULL pipeline context — layout boundaries break XLA fusion, so only
+    in-context timing decides (PERF.md; `scripts/autotune_serving.py`)."""
     m = model_module_for(efts_cfg)
     e, value, tmask = m.infer_durations(efts_params, efts_cfg, text, text_lengths)
     e = _maybe_correct(e, text_lengths, efts_cfg, duration_correction)
@@ -91,7 +119,8 @@ def synthesize_fixed(
     mel_lengths = jnp.clip(jnp.round(last).astype(jnp.int32), 1, t2)
     mel = mel * sequence_mask(mel_lengths, t2, dtype=mel.dtype)[:, :, None]
     wav = hg.generator(
-        voc_params, mel, voc_cfg, compute_dtype=compute_dtype, mrf_impl=mrf_impl
+        voc_params, mel, voc_cfg, compute_dtype=compute_dtype, mrf_impl=mrf_impl,
+        mrf_strategy=mrf_strategy, ups_impl=ups_impl,
     )
     wav_lengths = mel_lengths * voc_cfg.hop_size
     wav = wav * sequence_mask(wav_lengths, t2 * voc_cfg.hop_size, dtype=wav.dtype)
