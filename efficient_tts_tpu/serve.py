@@ -130,6 +130,7 @@ class TTSEngine:
         mesh=None,
         pcm16_transfer: bool = True,
         pipeline_fetch: bool = True,
+        batch_bucketing: bool = True,
         detailed_timing: bool = False,
     ):
         from efficient_tts_tpu.models.efficient_tts import EftsCNNConfig
@@ -182,6 +183,7 @@ class TTSEngine:
         # attribution runs only (it defeats pipelining).
         self.pcm16_transfer = bool(pcm16_transfer)
         self.pipeline_fetch = bool(pipeline_fetch)
+        self.batch_bucketing = bool(batch_bucketing)
         self.detailed_timing = bool(detailed_timing)
         self.stats = EngineStats()
         self._lock = threading.Lock()
@@ -249,13 +251,26 @@ class TTSEngine:
         t1 = min(
             bucket_length(int(lengths.max()), self.t1_multiple), self.max_t1
         )
-        # pad the batch dim to the static micro-batch size with dummy rows
-        # (length-1, pad symbol); masks zero their contribution and the
-        # rows are dropped before returning.
-        text = np.zeros((self.max_batch, t1), np.int32)
+        # bucket the batch dim to the next power of two <= max_batch and
+        # pad with dummy rows (length-1, pad symbol); masks zero their
+        # contribution and the rows are dropped before returning. A
+        # partially-filled batch then pays proportional device compute
+        # AND device->host transfer instead of always max_batch's (the
+        # round-4 load attribution showed a B=2 gather paying the full
+        # B=16 batch: ~7x wasted relay bytes at low offered load). The
+        # jit grid grows by the log2(max_batch)+1 batch buckets.
+        bb = self.max_batch if not self.batch_bucketing else 1
+        while bb < n:
+            bb *= 2
+        bb = min(bb, self.max_batch)
+        if self.mesh is not None:
+            # keep the batch dividable over the mesh 'data' axis
+            d = self.mesh.shape["data"]
+            bb = min(((bb + d - 1) // d) * d, self.max_batch)
+        text = np.zeros((bb, t1), np.int32)
         for i, s in enumerate(seqs):
             text[i, : len(s)] = s
-        full_lengths = np.ones((self.max_batch,), np.int32)
+        full_lengths = np.ones((bb,), np.int32)
         full_lengths[:n] = lengths
 
         timings: dict = {}
@@ -405,10 +420,16 @@ class DynamicBatcher:
     _STOP = object()
 
     def __init__(self, engine, max_batch: int | None = None,
-                 max_wait_ms: float = 10.0, pipeline_depth: int = 2):
+                 max_wait_ms: float = 10.0, pipeline_depth: int = 2,
+                 sort_ahead: int = 3):
         self.engine = engine
         self.max_batch = max_batch or engine.max_batch
         self.max_wait = max_wait_ms / 1000.0
+        # pipelined engines: gather up to sort_ahead*max_batch requests
+        # per window and sort them by length before chunking into
+        # micro-batches (see _loop) — under backlog this produces
+        # length-homogeneous full batches at no added wait
+        self.sort_ahead = max(1, int(sort_ahead))
         self._q: queue.Queue = queue.Queue()
         # dispatch->fetch pipeline: the gather thread dispatches batches
         # to the device and hands them to a fetch thread, so batch k's
@@ -449,8 +470,9 @@ class DynamicBatcher:
         if first is self._STOP:
             return None
         items = [first]
+        limit = self.max_batch * (self.sort_ahead if self._pipelined else 1)
         deadline = time.perf_counter() + self.max_wait
-        while len(items) < self.max_batch:
+        while len(items) < limit:
             timeout = deadline - time.perf_counter()
             if timeout <= 0:
                 break
@@ -463,6 +485,41 @@ class DynamicBatcher:
                 break
             items.append(nxt)
         return items
+
+    def _length_groups(self, items: list, ratio: float = 0.7) -> list:
+        """Split a desc-length-sorted chunk into groups whose padded
+        (batch-bucket x length-bucket) transfer cost is lower than the
+        single mixed batch's — mel frames scale with symbol count, so
+        symbol length is the cost proxy. Returns list of item groups."""
+        if len(items) <= 1:
+            return [items]
+        groups = [[items[0]]]
+        for it in items[1:]:
+            if len(it[0]) < ratio * len(groups[-1][0][0]):
+                groups.append([it])
+            else:
+                groups[-1].append(it)
+        if len(groups) == 1:
+            return groups
+
+        def pow2(n):
+            b = 1
+            while b < n:
+                b *= 2
+            return b
+
+        m = getattr(self.engine, "t1_multiple", 16)
+
+        def cost(gs):
+            return sum(pow2(len(g)) * (-(-len(g[0][0]) // m)) for g in gs)
+
+        merged = [groups[0]]
+        for g in groups[1:]:
+            if cost([merged[-1] + g]) <= cost([merged[-1], g]):
+                merged[-1] = merged[-1] + g
+            else:
+                merged.append(g)
+        return merged
 
     def _loop(self) -> None:
         while True:
@@ -481,21 +538,37 @@ class DynamicBatcher:
                     fut.set_exception(e)
             if not good:
                 continue
+            if self._pipelined:
+                # Every row of a micro-batch is synthesized AND
+                # transferred at the batch's T2 bucket, so mixing a 2 s
+                # and an 8 s utterance makes the short row pay ~4x its
+                # bytes over the host link — and the round-4 load
+                # attribution showed saturation throughput IS the link
+                # bandwidth. Sort the (up to sort_ahead*max_batch)
+                # gathered requests by length, chunk into micro-batches,
+                # and split residual in-chunk spread into homogeneous
+                # groups; with the engine's batch-dim bucketing the
+                # padding becomes real audio-s/s.
+                good.sort(key=lambda it: len(it[0]), reverse=True)
+                for lo in range(0, len(good), self.max_batch):
+                    for group in self._length_groups(
+                        good[lo : lo + self.max_batch]
+                    ):
+                        futs = [f for _, f in group]
+                        try:
+                            handle = self.engine._dispatch_batch(
+                                [s for s, _ in group]
+                            )
+                        except Exception as e:  # noqa: BLE001
+                            for f in futs:
+                                f.set_exception(e)
+                            continue
+                        self._fetch_q.put((handle, futs))
+                continue
             futs = [f for _, f in good]
             seqs = [s for s, _ in good]
-            if self._pipelined:
-                # gathered batches never exceed max_batch, so one
-                # dispatch covers the whole coalesced batch
-                try:
-                    handle = self.engine._dispatch_batch(seqs)
-                except Exception as e:  # noqa: BLE001
-                    for f in futs:
-                        f.set_exception(e)
-                    continue
-                self._fetch_q.put((handle, futs))
-                continue
             try:
-                wavs = self.engine.synthesize_ids(seqs)
+                wavs = self.engine.synthesize_ids(seqs)  # serial fallback
             except Exception as e:  # noqa: BLE001 - propagate per-request
                 for f in futs:
                     f.set_exception(e)

@@ -51,9 +51,19 @@ def main():
     ap.add_argument("--t1", type=int, default=96)
     ap.add_argument("--t2", type=int, default=512)
     ap.add_argument("--tiny", action="store_true", help="tiny model configs (CPU smoke)")
+    ap.add_argument("--max_data", type=int, default=32,
+                    help="largest 'data' extent to sweep")
+    ap.add_argument("--json_out", default=None)
     args = ap.parse_args()
 
     import jax
+
+    # the boot shim (sitecustomize) re-registers the TPU plugin and forces
+    # jax_platforms AFTER env vars are read — pin the requested platform
+    # back (same dance as tests/conftest.py) so the virtual mesh exists
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from efficient_tts_tpu.models import efficient_tts as efts
@@ -84,8 +94,11 @@ def main():
     rng = np.random.default_rng(0)
     frame_s = voc_cfg.hop_size / voc_cfg.sampling_rate
 
-    extents = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    extents = [
+        n for n in (1, 2, 4, 8, 16, 32) if n <= min(n_avail, args.max_data)
+    ]
     base = None
+    rows = []
     for n in extents:
         mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
         b = args.per_chip_batch * n
@@ -104,10 +117,34 @@ def main():
         if base is None:
             base = thr
         eff = thr / (n * base)
+        rows.append({
+            "data": n,
+            "batch": b,
+            "ms_per_batch": round(t * 1e3, 2),
+            "audio_s_per_s": round(thr, 2),
+            "efficiency": round(eff, 4),
+        })
         print(
             f"data={n:2d}: {t*1e3:8.1f} ms/batch  {thr:9.1f} audio-s/s "
             f"({thr/n:8.1f}/chip)  efficiency {eff*100:5.1f}%"
         )
+    if args.json_out:
+        import json
+
+        payload = {
+            "backend": jax.default_backend(),
+            "n_devices": n_avail,
+            "virtual_mesh": jax.default_backend() != "tpu",
+            "per_chip_batch": args.per_chip_batch,
+            "t1": args.t1,
+            "t2": args.t2,
+            "tiny": args.tiny,
+            "rows": rows,
+        }
+        os.makedirs(os.path.dirname(args.json_out) or ".", exist_ok=True)
+        with open(args.json_out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":

@@ -39,7 +39,7 @@ SENTENCES = [
 ]
 
 
-def build_engine(compute_dtype, legacy=False, detailed=False):
+def build_engine(compute_dtype, legacy=False, detailed=False, max_batch=16):
     import jax
 
     from efficient_tts_tpu.models import efficient_tts as efts
@@ -59,7 +59,7 @@ def build_engine(compute_dtype, legacy=False, detailed=False):
     out["b"] = np.full_like(out["b"], np.log(6.5))
     return TTSEngine(
         efts_params, voc_params, efts_cfg, voc_cfg,
-        max_batch=16, compute_dtype=compute_dtype, mrf_impl="auto",
+        max_batch=max_batch, compute_dtype=compute_dtype, mrf_impl="auto",
         # legacy reproduces the round-3 serving path (f32 transfer, no
         # dispatch/fetch overlap) for before/after attribution
         pcm16_transfer=not legacy,
@@ -132,6 +132,7 @@ def main():
     ap.add_argument("--compute_dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--json_out", default=None)
+    ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--legacy", action="store_true",
                     help="round-3 path: f32 transfer, no fetch overlap")
     ap.add_argument("--attribution", action="store_true",
@@ -143,11 +144,12 @@ def main():
     import jax.numpy as jnp
 
     cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
-    engine = build_engine(cdt, legacy=args.legacy, detailed=args.attribution)
+    engine = build_engine(cdt, legacy=args.legacy, detailed=args.attribution,
+                          max_batch=args.max_batch)
     # warm every (t1, t2) bucket the sentences hit, batched and solo
     for s in SENTENCES:
         engine.synthesize([s])
-    engine.synthesize(list(SENTENCES) * 6)
+    engine.synthesize(list(SENTENCES) * (2 * args.max_batch // len(SENTENCES) + 1))
     engine.stats.__init__()
 
     rng = np.random.default_rng(0)

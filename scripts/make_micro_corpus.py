@@ -88,6 +88,24 @@ eval_interval_steps: 1000
 log_interval_steps: 200
 """
 
+# Same data/optimizer/interval settings, transformer acoustic model
+# (configs/lj_efts_transformer_phnseq.yaml widths) — the round-3/4
+# capability + quality-inversion investigation runs.
+TRANSFORMER_MODEL = """\
+model_name: "EfficientTTSTransformer"
+model_params:
+  num_symbols: 76
+  n_channels: 384
+  n_heads: 4
+  ff_hidden: 1536
+  n_text_encoder_layer: 4
+  n_mel_encoder_layer: 2
+  n_decoder_layer: 4
+  dropout_rate: 0.0
+  use_masking: true
+  sigma: 0.01
+"""
+
 
 def load_transcripts() -> dict:
     """utt id -> phnseq transcript, from the shipped filelists."""
@@ -131,12 +149,16 @@ def main():
         f.write("\n".join(train_lines) + "\n")
     with open(os.path.join(args.out, "dev_filelist.txt"), "w") as f:
         f.write("\n".join(dev_lines) + "\n")
+    cnn_cfg = CONFIG.format(
+        wav_dir=os.path.abspath(wav_dir),
+        phnset=PHNSET,
+        mel_cache=os.path.abspath(os.path.join(args.out, "mel_cache")),
+    )
     with open(os.path.join(args.out, "micro_lj.yaml"), "w") as f:
-        f.write(CONFIG.format(
-            wav_dir=os.path.abspath(wav_dir),
-            phnset=PHNSET,
-            mel_cache=os.path.abspath(os.path.join(args.out, "mel_cache")),
-        ))
+        f.write(cnn_cfg)
+    cnn_model = cnn_cfg[cnn_cfg.index("model_name"):cnn_cfg.index("\n\n", cnn_cfg.index("model_name"))]
+    with open(os.path.join(args.out, "micro_lj_transformer.yaml"), "w") as f:
+        f.write(cnn_cfg.replace(cnn_model, TRANSFORMER_MODEL.rstrip("\n")))
     print(
         f"micro corpus at {args.out}: {len(train_lines)} train / "
         f"{len(dev_lines)} dev utterances"

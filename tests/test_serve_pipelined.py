@@ -178,3 +178,56 @@ def test_synthesize_dispatch_equals_synthesize():
     np.testing.assert_array_equal(lens, ref_len)
     assert timings["stage1_s"] > 0 and timings["dispatch_s"] > 0
     assert timings["t2"] % 32 == 0
+
+
+def test_batch_bucketing_matches_full_pad():
+    """Batch-dim bucketing (pad to next pow2 <= max_batch) must be
+    waveform-identical to always padding to max_batch: dummy rows are
+    masked out of every stage."""
+    e_bucket = _engine(max_batch=8)
+    e_full = _engine(max_batch=8, batch_bucketing=False)
+    seqs = [e_bucket.encode(t) for t in TEXTS[:3]]
+    h = e_bucket._dispatch_batch(seqs)
+    assert np.asarray(h.wav).shape[0] == 4  # 3 -> pow2 bucket 4
+    h_full = e_full._dispatch_batch(seqs)
+    assert np.asarray(h_full.wav).shape[0] == 8
+    w_a = e_bucket._fetch_batch(h)
+    w_b = e_full._fetch_batch(h_full)
+    for a, b in zip(w_a, w_b):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_length_groups_partition_and_order():
+    class _E:  # duck engine for the grouping policy only
+        t1_multiple = 16
+
+    b = DynamicBatcher.__new__(DynamicBatcher)
+    b.engine = _E()
+    # 140/90/40-symbol classes, desc-sorted as _loop provides
+    items = [(np.zeros(n, np.int32), object()) for n in
+             (140, 139, 90, 89, 88, 40, 39)]
+    groups = DynamicBatcher._length_groups(b, items)
+    # every item appears exactly once, order within groups preserved
+    flat = [it for g in groups for it in g]
+    assert [id(f[1]) for f in flat] == [id(i[1]) for i in items]
+    assert len(groups) >= 2  # the 3.5x spread must split somewhere
+    for g in groups:  # groups stay desc-sorted; max is first
+        lens = [len(s) for s, _ in g]
+        assert lens == sorted(lens, reverse=True)
+    # near-homogeneous input must NOT split
+    near = [(np.zeros(n, np.int32), object()) for n in (100, 99, 98, 97)]
+    assert len(DynamicBatcher._length_groups(b, near)) == 1
+
+
+def test_batcher_sorted_groups_end_to_end():
+    """Mixed-length concurrent submits through the sort-ahead batcher
+    resolve to the same waveforms as direct synthesis."""
+    eng = _engine(max_batch=4)
+    want = {t: w for t, w in zip(TEXTS, eng.synthesize(list(TEXTS)))}
+    batcher = DynamicBatcher(eng, max_wait_ms=50.0)
+    futs = {t: batcher.submit(t) for t in TEXTS}
+    try:
+        for t, f in futs.items():
+            np.testing.assert_array_equal(f.result(timeout=120), want[t])
+    finally:
+        batcher.close()
