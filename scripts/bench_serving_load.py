@@ -146,9 +146,15 @@ def main():
     cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
     engine = build_engine(cdt, legacy=args.legacy, detailed=args.attribution,
                           max_batch=args.max_batch)
-    # warm every (t1, t2) bucket the sentences hit, batched and solo
-    for s in SENTENCES:
-        engine.synthesize([s])
+    # warm every (batch-bucket, t1, t2) combo the sentences hit: the
+    # engine buckets the batch dim to powers of two and the batcher
+    # groups by length, so per-sentence homogeneous batches at each
+    # batch bucket are the hot grid
+    bb = 1
+    while bb <= args.max_batch:
+        for s in SENTENCES:
+            engine.synthesize([s] * bb)
+        bb *= 2
     engine.synthesize(list(SENTENCES) * (2 * args.max_batch // len(SENTENCES) + 1))
     engine.stats.__init__()
 
