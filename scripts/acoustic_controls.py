@@ -68,6 +68,12 @@ def main():
 
     import jax
 
+    # the boot shim re-registers the TPU plugin and overrides the env
+    # var — pin the requested platform back (tests/conftest.py dance) so
+    # JAX_PLATFORMS=cpu actually runs on CPU instead of the relay
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from efficient_tts_tpu.data.dataset import (
         load_filepaths_and_text,
         load_wav_float,
