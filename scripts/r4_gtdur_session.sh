@@ -38,30 +38,35 @@ python -m efficient_tts_tpu.bin.train_vocoder \
     --lr_decay_steps 1000 > results/r4/gtdur_voc_train.log 2>&1 \
   || { tail -5 results/r4/gtdur_voc_train.log; exit 1; }
 
-voc=$(ls -d exp/micro_hifigan/checkpoint-*steps | sort -t- -k2 -n | tail -1)
+# Pin the scoring vocoder to the checkpoint this script just trained —
+# exp/ may hold residue from longer runs, and scoring a different
+# checkpoint would silently break the shared-vocoder invariant.
+voc=exp/micro_hifigan/checkpoint-${voc_steps}steps
+[ -d "$voc" ] || { echo "missing $voc (trained checkpoint not found)"; exit 1; }
+sfx=voc$((voc_steps / 1000))k
 efts=exp/micro_efts/checkpoint-20000steps
-echo "== scoring at voc=$voc =="
+echo "== scoring at voc=$voc (suffix $sfx) =="
 
 echo "== row 1: GT-duration control (the missing row) =="
 python scripts/acoustic_controls.py --checkpoint $efts \
     --dev_fid_scp exp/micro_corpus/dev_filelist.txt \
     --vocoder_checkpoint $voc --synth_outdir exp/gen_gtdur \
-    --json_out results/r4/acoustic_controls_cnn20k_voc14k.json | tail -2
+    --json_out results/r4/acoustic_controls_cnn20k_${sfx}.json | tail -2 || exit 1
 python scripts/golden_compare.py --hyp_dir exp/gen_gtdur \
-    --json_out results/r4/golden_gtdur_voc14k.json | tail -2
+    --json_out results/r4/golden_gtdur_${sfx}.json | tail -2 || exit 1
 
 echo "== row 2: copy-synthesis bound at the same vocoder =="
 python scripts/copy_synthesis.py --vocoder_checkpoint $voc \
-    --outdir exp/copysynth_14k
-python scripts/golden_compare.py --hyp_dir exp/copysynth_14k \
-    --json_out results/r4/golden_copysynth_voc14k.json | tail -2
+    --outdir exp/copysynth_${sfx} || exit 1
+python scripts/golden_compare.py --hyp_dir exp/copysynth_${sfx} \
+    --json_out results/r4/golden_copysynth_${sfx}.json | tail -2 || exit 1
 
 echo "== row 3: full pipeline (predicted durations), same vocoder =="
 python -m efficient_tts_tpu.bin.inference \
     --test_fid_scp exp/micro_corpus/dev_filelist.txt \
     --checkpoint $efts --vocoder_checkpoint $voc \
-    --outdir exp/gen_cnn_14k
-python scripts/golden_compare.py --hyp_dir exp/gen_cnn_14k \
-    --json_out results/r4/golden_micro_cnn20k_voc14k.json | tail -2
+    --outdir exp/gen_cnn_${sfx} || exit 1
+python scripts/golden_compare.py --hyp_dir exp/gen_cnn_${sfx} \
+    --json_out results/r4/golden_micro_cnn20k_${sfx}.json | tail -2 || exit 1
 
 echo "== done =="
