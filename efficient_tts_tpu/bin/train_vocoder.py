@@ -23,6 +23,7 @@ def get_parser():
     p.add_argument("--resume", default=None)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--train_max_steps", type=int, default=400000)
+    p.add_argument("--save_interval_steps", type=int, default=5000)
     p.add_argument("--use_stft_loss", action="store_true")
     p.add_argument("--compute_dtype", default=None, choices=["bfloat16"],
                    help="bf16 conv towers (params/losses stay f32)")
@@ -44,6 +45,14 @@ def get_parser():
                    help="GTA fine-tuning: generator input from --base_mels_path")
     p.add_argument("--base_mels_path", default=None,
                    help="dir of GTA mels from efficient_tts_tpu.bin.extract_gta")
+    p.add_argument("--device_corpus", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="hold the whole wav corpus in HBM and do random "
+                   "cropping + mel extraction on device inside the jitted "
+                   "GAN step (zero steady-state host->device transfer; see "
+                   "data/device_corpus.py for the relay-leak postmortem). "
+                   "auto = on when the corpus fits a 2 GiB budget on a "
+                   "single local device and not --fine_tuning")
     return p
 
 
@@ -108,20 +117,50 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else None,
     )
 
+    from efficient_tts_tpu.data import device_corpus as dc
     from efficient_tts_tpu.parallel.mesh import fit_data_extent, make_mesh
 
-    mesh = make_mesh(
-        data=fit_data_extent(args.batch_size, jax.local_device_count()), model=1
-    )
-    from efficient_tts_tpu.data.loader import background_prefetch
+    use_device_corpus = args.device_corpus == "on"
+    if args.device_corpus == "auto":
+        use_device_corpus = (
+            not args.fine_tuning
+            and jax.local_device_count() == 1
+            and jax.process_count() == 1
+            and dc.corpus_nbytes(files) <= 2 << 30
+        )
+    mesh = None
+    if use_device_corpus:
+        # the steady-state train loop does zero host->device data motion:
+        # corpus placed once, crops + mels computed on device per step
+        corpus = jax.device_put(
+            dc.load_corpus(files, segment_size=voc_cfg.segment_size)
+        )
+        batch_fn = dc.make_device_batch_fn(
+            args.batch_size, segment_size=voc_cfg.segment_size
+        )
+        step = dc.make_device_gan_train_step(step, batch_fn)
+        import itertools
 
-    # outer prefetch decouples epochs from steps: on one-batch epochs the
-    # next batch's wav reads + segment mels collate while the device runs
-    # the current GAN step (measured 6.7 -> ~10 steps/s on the micro run)
-    train_iter = background_prefetch(infinite_loader(
-        ds, args.batch_size, collate_mel_audio,
-        shard_id=jax.process_index(), num_shards=jax.process_count(),
-    ))
+        train_iter = itertools.repeat((0, corpus))
+        logging.info(
+            "device-resident corpus: %d wavs, %.1f MB in HBM",
+            corpus["wav"].shape[0], corpus["wav"].nbytes / 2**20,
+        )
+    else:
+        mesh = make_mesh(
+            data=fit_data_extent(args.batch_size, jax.local_device_count()),
+            model=1,
+        )
+        from efficient_tts_tpu.data.loader import background_prefetch
+
+        # outer prefetch decouples epochs from steps: on one-batch epochs
+        # the next batch's wav reads + segment mels collate while the
+        # device runs the current GAN step (measured 6.7 -> ~10 steps/s
+        # on the micro run)
+        train_iter = background_prefetch(infinite_loader(
+            ds, args.batch_size, collate_mel_audio,
+            shard_id=jax.process_index(), num_shards=jax.process_count(),
+        ))
     eval_step, eval_batches = None, []
     if args.dev_wav_scp:
         with open(args.dev_wav_scp) as f:
@@ -139,6 +178,7 @@ def main(argv=None):
     trainer = HiFiGANTrainer(
         step, state, train_iter, outdir=args.outdir,
         train_max_steps=args.train_max_steps, mesh=mesh,
+        save_interval_steps=args.save_interval_steps,
         eval_step=eval_step, eval_batches=eval_batches,
         max_keep_checkpoints=args.max_keep_checkpoints,
     )

@@ -195,11 +195,9 @@ class MelAudioSegmentDataset:
         self.segment_size = segment_size
         self.sampling_rate = sampling_rate
         self.mel_config = mel_config
-        self.loss_config = (
-            mel_config
-            if fmax_loss == mel_config.fmax
-            else MelConfig(**{**mel_config.__dict__, "fmax": fmax_loss})
-        )
+        from efficient_tts_tpu.dsp.mel import loss_mel_config
+
+        self.loss_config = loss_mel_config(mel_config, fmax_loss)
         self.max_wav_value = max_wav_value
         self.split = split
         self.fine_tuning = fine_tuning

@@ -49,6 +49,28 @@ class MelConfig:
         return (self.n_fft - self.hop_size) // 2
 
 
+def loss_mel_config(
+    mel_cfg: MelConfig = MelConfig(), fmax_loss: float | None = None
+) -> MelConfig:
+    """Mel config for the vocoder training loss (official HiFi-GAN
+    `fmax_for_loss`, null = full-band up to Nyquist).
+
+    The official recipe computes BOTH the loss target (dataset) and the
+    mel of the generated audio with this config; using the banded
+    inference config (fmax 8000) for the hypothesis against a full-band
+    target puts two different filterbanks on either side of the L1 —
+    measured irreducible bias 0.76 log-mel units on LJ audio, i.e. the
+    generator is rewarded for spectrally warping its output to bridge
+    the filterbank gap. One shared constructor so the dataset
+    (`data/dataset.py`) and the train/eval steps
+    (`train/hifigan_train_step.py`) can never diverge again.
+    Ref: `HiFiGAN_LJ_V1/config.json` ("fmax_for_loss": null).
+    """
+    if fmax_loss == mel_cfg.fmax:
+        return mel_cfg
+    return MelConfig(**{**mel_cfg.__dict__, "fmax": fmax_loss})
+
+
 def num_frames(n_samples: int, cfg: MelConfig = MelConfig()) -> int:
     """Number of STFT frames for an unpadded waveform of `n_samples`.
 

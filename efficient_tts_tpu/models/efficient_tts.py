@@ -72,6 +72,11 @@ class EftsCNNConfig:
     delta_e_method_1: bool = True
     share_text_encoder_key_value: bool = False
     use_mel_query_fc: bool = False
+    # "frame" = reference loss weighting (utterance weight ~ frame
+    # count, `fastspeech_loss.py:55-63`); "utterance" = per-utterance
+    # normalization (equal weight per utterance — treats the
+    # short-utterance gradient starvation measured in VALIDATION §3e)
+    loss_normalize: str = "frame"
     # "bfloat16" runs the conv stacks + big matmuls in bf16 with f32 MXU
     # accumulation (params stay f32); the IMV alignment chain is always
     # f32. None/"float32" = full precision (parity mode).
@@ -221,7 +226,7 @@ def forward(
 
     mel_loss, dur_loss = fastspeech_loss(
         mel_pred, speech, dur_pred, log_delta_e, text_mask, mel_mask,
-        use_masking=cfg.use_masking,
+        use_masking=cfg.use_masking, loss_normalize=cfg.loss_normalize,
     )
     loss = mel_loss + dur_loss
     return {

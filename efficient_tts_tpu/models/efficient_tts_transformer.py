@@ -54,6 +54,9 @@ class EftsTransformerConfig:
     n_duration_layer: int = 2
     dropout_rate: float = 0.1
     use_masking: bool = True
+    # "frame" (reference weighting) | "utterance" (equal per-utterance
+    # weight; see EftsCNNConfig.loss_normalize and VALIDATION §3e)
+    loss_normalize: str = "frame"
     duration_offset: float = 1.0
     sigma: float = 0.01
     sigma_e: float = 0.5
@@ -193,7 +196,7 @@ def forward(
     ).astype(jnp.float32)
     mel_loss, dur_loss = fastspeech_loss(
         mel_pred, speech, dur_pred, log_delta_e, text_mask, mel_mask,
-        use_masking=cfg.use_masking,
+        use_masking=cfg.use_masking, loss_normalize=cfg.loss_normalize,
     )
     return {
         "loss": mel_loss + dur_loss,

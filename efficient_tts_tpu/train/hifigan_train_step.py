@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from efficient_tts_tpu.dsp.mel import MelConfig, mel_spectrogram
+from efficient_tts_tpu.dsp.mel import MelConfig, loss_mel_config, mel_spectrogram
 from efficient_tts_tpu.losses.gan import (
     discriminator_loss,
     feature_loss,
@@ -69,6 +69,39 @@ def ema_generator_params(state: dict) -> dict:
     return state.get("ema", state["gen"]["params"])
 
 
+def shard_gan_state(
+    key, voc_cfg: HiFiGANConfig, gen_tx, disc_tx, mesh,
+    ema_decay: float | None = None,
+) -> dict:
+    """Init a GAN train state placed on a ('data','model') mesh:
+    generator channel-sharded over 'model' (the BASELINE north star —
+    shard the HiFi-GAN generator when it exceeds one chip's HBM),
+    discriminators + their optimizer replicated (they are ~1/6 the
+    generator's footprint and carry spectral-norm u/v power-iteration
+    state that must see full kernels). Optimizer moments are created
+    from the *placed* params so `zeros_like` inherits the shardings —
+    the same recipe as `efts_train_step.shard_state`."""
+    from efficient_tts_tpu.parallel.sharding import param_sharding, replicated
+
+    kg, kp, ks = jax.random.split(key, 3)
+    gen = hg.init_generator(kg, voc_cfg)
+    gen = jax.tree_util.tree_map(
+        jax.device_put, gen, param_sharding(gen, mesh)
+    )
+    rep = replicated(mesh)
+    disc = jax.device_put(
+        {"mpd": hg.init_mpd(kp), "msd": hg.init_msd(ks)}, rep
+    )
+    state = {
+        "gen": {"params": gen, "opt_state": gen_tx.init(gen)},
+        "disc": {"params": disc, "opt_state": disc_tx.init(disc)},
+        "step": jax.device_put(jnp.zeros((), jnp.int32), rep),
+    }
+    if ema_decay is not None:
+        state["ema"] = gen
+    return state
+
+
 def make_gan_train_step(
     voc_cfg: HiFiGANConfig,
     gen_tx,
@@ -80,12 +113,19 @@ def make_gan_train_step(
     ema_decay: float | None = None,
     compute_dtype=None,
     msd_grouped_impl=("auto", "auto"),
+    fmax_loss: float | None = None,
 ):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: {"mel": [B, F, n_mels] (generator input),
             "audio": [B, S] ground-truth segment,
             "mel_loss": [B, F, n_mels] mel-loss target (fmax_loss DSP)}.
+
+    `fmax_loss` is the official `fmax_for_loss` (None = full-band): the
+    mel of the generated audio is computed with `loss_mel_config` so it
+    shares the filterbank of the dataset's `mel_loss` target — see
+    `dsp.mel.loss_mel_config` for why mismatched filterbanks here are
+    a correctness bug, not a knob.
 
     `compute_dtype=jnp.bfloat16` runs generator + discriminator conv
     towers in bf16 (params, optimizer states, loss reductions, and the
@@ -108,6 +148,7 @@ def make_gan_train_step(
         d_impl = MSD_D_UPDATE_IMPL
     if g_impl == "auto":
         g_impl = MSD_G_UPDATE_IMPL
+    loss_cfg = loss_mel_config(mel_cfg, fmax_loss)
 
     def d_loss_fn(d_params, y, y_hat):
         mpd_r, mpd_g, _, _ = hg.mpd_forward(
@@ -127,7 +168,7 @@ def make_gan_train_step(
 
     def g_loss_fn(g_params, d_params, mel_in, y, mel_target):
         y_hat = hg.generator(g_params, mel_in, voc_cfg, compute_dtype=compute_dtype)
-        mel_hat = jnp.swapaxes(mel_spectrogram(y_hat, mel_cfg), 1, 2)
+        mel_hat = jnp.swapaxes(mel_spectrogram(y_hat, loss_cfg), 1, 2)
         loss_mel = jnp.mean(jnp.abs(mel_hat - mel_target)) * mel_loss_weight
 
         mpd_r, mpd_g, fmap_r_p, fmap_g_p = hg.mpd_forward(
@@ -211,18 +252,28 @@ def make_gan_train_step(
         }
         return new_state, metrics
 
+    # pinned by tests: the filterbank of the generated-audio mel must be
+    # the dataset's loss filterbank (see `loss_mel_config`)
+    train_step.loss_mel_cfg = loss_cfg
     return train_step
 
 
-def make_gan_eval_step(voc_cfg: HiFiGANConfig, mel_cfg: MelConfig = MelConfig()):
+def make_gan_eval_step(
+    voc_cfg: HiFiGANConfig,
+    mel_cfg: MelConfig = MelConfig(),
+    fmax_loss: float | None = None,
+):
     """Validation metric: mel-spectrogram L1 of generated vs ground truth
     (the official HiFi-GAN recipe's val metric; the reference ships no
-    vocoder trainer at all)."""
+    vocoder trainer at all). The hypothesis mel uses the SAME
+    `loss_mel_config` filterbank as the dataset's `mel_loss` target."""
+    loss_cfg = loss_mel_config(mel_cfg, fmax_loss)
 
     @jax.jit
     def eval_step(gen_params, batch):
         y_hat = hg.generator(gen_params, batch["mel"], voc_cfg)
-        mel_hat = jnp.swapaxes(mel_spectrogram(y_hat, mel_cfg), 1, 2)
+        mel_hat = jnp.swapaxes(mel_spectrogram(y_hat, loss_cfg), 1, 2)
         return {"mel_l1": jnp.mean(jnp.abs(mel_hat - batch["mel_loss"]))}
 
+    eval_step.loss_mel_cfg = loss_cfg
     return eval_step

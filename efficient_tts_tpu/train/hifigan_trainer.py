@@ -22,6 +22,16 @@ from efficient_tts_tpu.utils.preemption import convert_sigterm
 log = logging.getLogger(__name__)
 
 
+def _rss_gb() -> float:
+    """Host resident set size in GiB (leak observability: the round-4
+    long run wedged at ~51 GB RSS — every interval log line now carries
+    the number so a regression is visible in the step log itself, not
+    only to an external watchdog)."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**30
+    except (OSError, ValueError, IndexError):
+        return float("nan")
 
 
 class HiFiGANTrainer:
@@ -139,9 +149,10 @@ class HiFiGANTrainer:
                 dt = time.time() - t_last
                 means = {k: v / count for k, v in totals.items()}
                 log.info(
-                    "step %d: g=%.3f d=%.3f mel_l1=%.3f (%.2f steps/s)",
+                    "step %d: g=%.3f d=%.3f mel_l1=%.3f (%.2f steps/s, "
+                    "rss %.2f GB)",
                     pstep, means.get("g_loss", 0), means.get("d_loss", 0),
-                    means.get("mel_l1", 0), count / max(dt, 1e-9),
+                    means.get("mel_l1", 0), count / max(dt, 1e-9), _rss_gb(),
                 )
                 if self.writer is not None:
                     for k, v in means.items():

@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from efficient_tts_tpu.dsp.mel import MelConfig, mel_spectrogram_np
+from efficient_tts_tpu.dsp.mel import MelConfig, loss_mel_config, mel_spectrogram_np
 from efficient_tts_tpu.models.hifigan import HiFiGANConfig
 from efficient_tts_tpu.train.hifigan_train_step import (
     init_gan_state,
@@ -28,7 +28,11 @@ def _batch(b=2, segment=2048):
     audio = 0.5 * np.sin(2 * np.pi * 220 * t)[None, :] * np.ones((b, 1))
     audio = (audio + 0.01 * rng.standard_normal((b, segment))).astype(np.float32)
     mel = np.stack([mel_spectrogram_np(a, MelConfig()).T for a in audio])
-    return {"mel": mel, "audio": audio, "mel_loss": mel.copy()}
+    # loss target through the official fmax_for_loss=None (full-band)
+    # filterbank, matching MelAudioSegmentDataset and the train step
+    loss_cfg = loss_mel_config(MelConfig(), None)
+    mel_loss = np.stack([mel_spectrogram_np(a, loss_cfg).T for a in audio])
+    return {"mel": mel, "audio": audio, "mel_loss": mel_loss}
 
 
 def test_gan_step_runs_and_updates():
@@ -68,6 +72,57 @@ def test_spectral_norm_state_advances():
     assert not np.allclose(u1, u2)
     # u converges toward the top singular vector: successive updates shrink
     assert np.linalg.norm(u2 - u1) < np.linalg.norm(u1 - u0) * 2.0
+
+
+def test_gan_dp_tp_matches_dp():
+    """One GAN step with the generator channel-sharded over 'model' must
+    match the dp-only (replicated-params) step numerically — the
+    training-side pin for the north star's sharded-generator story
+    (dryrun covers execution; this covers numerics)."""
+    from jax.sharding import Mesh
+
+    from efficient_tts_tpu.parallel.mesh import make_mesh
+    from efficient_tts_tpu.train.hifigan_train_step import shard_gan_state
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs >=4 virtual devices")
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    gen_tx = hifigan_adam(lr=2e-4)
+    disc_tx = hifigan_adam(lr=2e-4)
+    step = make_gan_train_step(VOC_CFG, gen_tx, disc_tx)
+    batch = _batch(b=2)
+
+    dp_state = init_gan_state(jax.random.PRNGKey(0), VOC_CFG, gen_tx, disc_tx)
+    dp_state, dp_metrics = step(dp_state, batch)
+
+    tp_state = shard_gan_state(jax.random.PRNGKey(0), VOC_CFG, gen_tx, disc_tx, mesh)
+    # verify the generator really is sharded over 'model'
+    from efficient_tts_tpu.parallel.mesh import MODEL_AXIS
+
+    sharded_leaves = [
+        leaf for leaf in jax.tree_util.tree_leaves(tp_state["gen"]["params"])
+        if MODEL_AXIS in getattr(leaf.sharding, "spec", ())
+    ]
+    assert sharded_leaves, "no generator leaf was channel-sharded"
+    from efficient_tts_tpu.train.efts_train_step import shard_batch
+
+    tp_state, tp_metrics = step(tp_state, shard_batch(dict(batch), mesh))
+
+    for k in ("d_loss", "g_loss", "mel_l1"):
+        np.testing.assert_allclose(
+            float(dp_metrics[k]), float(tp_metrics[k]), rtol=2e-4, atol=2e-5,
+        )
+    # updated generator params agree (reduction order differs across
+    # shardings -> loose float32 tolerance)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(dp_state["gen"]["params"]),
+        jax.tree_util.tree_leaves(tp_state["gen"]["params"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(jax.device_get(b)), rtol=1e-2, atol=5e-4
+        )
 
 
 def test_gan_mel_loss_decreases():
