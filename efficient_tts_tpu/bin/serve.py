@@ -31,6 +31,12 @@ def get_parser():
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--max_wait_ms", type=float, default=10.0)
+    p.add_argument("--max_queue", type=int, default=256,
+                   help="admission bound on pending requests; beyond it "
+                   "submits get 503 + Retry-After (0 = unbounded)")
+    p.add_argument("--deadline_ms", type=float, default=10000.0,
+                   help="queue-wait deadline; admitted requests that age "
+                   "past it are shed with 503 (0 = no deadline)")
     p.add_argument("--bf16", action="store_true",
                    help="serve conv stacks in bfloat16 (recommended on TPU)")
     p.add_argument("--use_cpu", action="store_true")
@@ -137,7 +143,9 @@ def main(argv=None):
         logging.info("warming up bucket grid...")
         engine.warmup()
     server = make_http_server(
-        engine, args.host, args.port, max_wait_ms=args.max_wait_ms
+        engine, args.host, args.port, max_wait_ms=args.max_wait_ms,
+        max_queue=args.max_queue or None,
+        deadline_ms=args.deadline_ms or None,
     )
     serve_forever(server)
 

@@ -44,10 +44,25 @@ def get_parser():
 
 
 def apply_overrides(config: dict, overrides: list) -> dict:
+    """KEY=VALUE overrides; KEY may be dotted (a.b.c) to set nested
+    config keys, e.g. --set model_params.loss_normalize=utterance."""
     import yaml
 
     for item in overrides:
         key, _, value = item.partition("=")
+        if "." in key:
+            if not _ or not key.split(".", 1)[0]:
+                raise SystemExit(f"--set expects KEY=VALUE, got {item!r}")
+            parts = key.split(".")
+            node = config
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+                if not isinstance(node, dict):
+                    raise SystemExit(
+                        f"--set {item!r}: {p!r} is not a mapping in the config"
+                    )
+            node[parts[-1]] = yaml.safe_load(value)
+            continue
         if not _:
             raise SystemExit(f"--set expects KEY=VALUE, got {item!r}")
         config[key] = yaml.safe_load(value)

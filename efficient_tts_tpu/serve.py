@@ -36,6 +36,18 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+class AdmissionError(RuntimeError):
+    """Request rejected at admission (bounded queue full). HTTP: 503."""
+
+
+class DeadlineExceededError(AdmissionError):
+    """Request shed because it aged past its queue-wait deadline before
+    dispatch. HTTP: 503. Past saturation every admitted request must
+    either meet the latency SLO or be shed — an unbounded queue turns
+    overload into unbounded latency for everyone (round-4 load bench:
+    p50 15-21 s at 96-128 offered QPS)."""
+
+
 def encode_wav_bytes(wav: np.ndarray, sampling_rate: int) -> bytes:
     """float32 waveform in (-1, 1) — or int16 PCM — -> RIFF/WAV bytes.
 
@@ -397,14 +409,97 @@ class TTSEngine:
         self.stats.audio_seconds += L * hop / self.voc_cfg.sampling_rate
         self.stats.compute_seconds += dt
 
-    def warmup(self, t1_lengths=(16, 64), text_id: int = 1) -> None:
-        """Pre-compile the bucket grid so first requests aren't slow.
+    def warmup(
+        self,
+        t1_lengths=(16, 64),
+        text_id: int = 1,
+        batch_buckets=None,
+        t2_neighbors: int = 1,
+    ) -> None:
+        """Pre-compile the jit grid the dispatcher actually serves.
+
+        The dispatcher buckets THREE axes: text length t1 (multiples of
+        ``t1_multiple``), mel length t2 (multiples of ``t2_multiple``,
+        chosen per batch from predicted durations), and — with
+        ``batch_bucketing`` — the batch dim to powers of two up to
+        ``max_batch``. A warmup that compiles only B=1 leaves every
+        loaded batch bucket cold (round-4's 8-QPS p50 of 4.5 s was
+        exactly this). For each (batch bucket, t1) this compiles the
+        organic t2 bucket the duration predictor emits for dummy text,
+        plus ``t2_neighbors`` buckets on either side to absorb the
+        duration spread of real text at the same t1.
 
         Resets the stats counters afterwards so compile time doesn't
         pollute the served RTF."""
+        from efficient_tts_tpu.pipeline import synthesize_fixed
+        from efficient_tts_tpu.utils.masks import bucket_length
+
+        if batch_buckets is None:
+            if self.batch_bucketing:
+                batch_buckets, bb = [], 1
+                while bb < self.max_batch:
+                    batch_buckets.append(bb)
+                    bb *= 2
+                batch_buckets.append(self.max_batch)
+            else:
+                batch_buckets = [self.max_batch]
+        if self.mesh is not None:
+            # the dispatcher rounds batch buckets up to a multiple of the
+            # mesh 'data' extent; warm the grid it actually emits
+            d = self.mesh.shape["data"]
+            batch_buckets = sorted({
+                min(((b + d - 1) // d) * d, self.max_batch)
+                for b in batch_buckets
+            })
         for t1 in t1_lengths:
-            seq = np.full((min(t1, self.max_t1),), text_id, np.int32)
-            self._run_batch([seq])
+            t1 = min(t1, self.max_t1)
+            organic_t2 = None
+            for nb in batch_buckets:
+                seqs = [np.full((t1,), text_id, np.int32)] * nb
+                handle = self._dispatch_batch(seqs)
+                organic_t2 = int(handle.timings.get("t2", 0)) or None
+                self._fetch_batch(handle)
+            if not t2_neighbors or organic_t2 is None:
+                continue
+            # neighbor t2 buckets at every batch bucket (stage 2 only;
+            # stage 1 is t2-independent and already compiled above)
+            t2s = [
+                organic_t2 + d * self.t2_multiple
+                for d in range(-t2_neighbors, t2_neighbors + 1)
+                if d != 0
+            ]
+            t2s = sorted({
+                min(max(t2, self.t2_multiple), self.max_t2) for t2 in t2s
+            } - {organic_t2})
+            t1b = min(bucket_length(t1, self.t1_multiple), self.max_t1)
+            for nb in batch_buckets:
+                text = np.full((nb, t1b), 0, np.int32)
+                text[:, :t1] = text_id
+                lengths = np.full((nb,), t1, np.int32)
+                if self.mesh is not None:
+                    import jax
+
+                    from efficient_tts_tpu.parallel.sharding import (
+                        batch_sharding,
+                    )
+
+                    text = jax.device_put(
+                        text, batch_sharding(self.mesh, ndim=2)
+                    )
+                    lengths = jax.device_put(
+                        lengths, batch_sharding(self.mesh, ndim=1)
+                    )
+                for t2 in t2s:
+                    wav, _, _ = synthesize_fixed(
+                        self.efts_params, self.voc_params, text, lengths,
+                        self.efts_cfg, self.voc_cfg, t2,
+                        compute_dtype=self.compute_dtype,
+                        mrf_impl=self.mrf_impl,
+                        output="pcm16" if self.pcm16_transfer else "f32",
+                    )
+                    import jax
+
+                    jax.block_until_ready(wav)
         self.stats = EngineStats()
 
 
@@ -421,7 +516,8 @@ class DynamicBatcher:
 
     def __init__(self, engine, max_batch: int | None = None,
                  max_wait_ms: float = 10.0, pipeline_depth: int = 2,
-                 sort_ahead: int = 3):
+                 sort_ahead: int = 3, max_queue: int | None = None,
+                 deadline_ms: float | None = None):
         self.engine = engine
         self.max_batch = max_batch or engine.max_batch
         self.max_wait = max_wait_ms / 1000.0
@@ -430,7 +526,19 @@ class DynamicBatcher:
         # micro-batches (see _loop) — under backlog this produces
         # length-homogeneous full batches at no added wait
         self.sort_ahead = max(1, int(sort_ahead))
-        self._q: queue.Queue = queue.Queue()
+        # Admission control: `max_queue` bounds the number of pending
+        # requests (submit raises AdmissionError when full -> HTTP 503);
+        # `deadline_ms` bounds queue WAIT — a gathered request older
+        # than this is shed with DeadlineExceededError instead of
+        # dispatched, so latency for admitted traffic stays
+        # ~deadline + one batch's service time no matter the offered
+        # load. Both default off (reference-compatible unbounded
+        # behavior for library users; the HTTP server turns them on).
+        self.max_queue = max_queue
+        self.deadline = deadline_ms / 1000.0 if deadline_ms else None
+        self.shed_full = 0  # rejected at submit (queue full)
+        self.shed_deadline = 0  # shed after admission (aged out)
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue or 0)
         # dispatch->fetch pipeline: the gather thread dispatches batches
         # to the device and hands them to a fetch thread, so batch k's
         # device->host waveform transfer overlaps batch k+1's dispatch
@@ -456,7 +564,17 @@ class DynamicBatcher:
 
     def submit(self, text: str) -> Future:
         fut: Future = Future()
-        self._q.put((text, fut))
+        item = (text, fut, time.perf_counter())
+        if self.max_queue:
+            try:
+                self._q.put_nowait(item)
+            except queue.Full:
+                self.shed_full += 1
+                raise AdmissionError(
+                    f"request queue full ({self.max_queue} pending)"
+                ) from None
+        else:
+            self._q.put(item)
         return fut
 
     def close(self) -> None:
@@ -528,10 +646,29 @@ class DynamicBatcher:
                 if self._fetch_thread is not None:
                     self._fetch_q.put(self._STOP)
                 return
+            # deadline shedding: a request that already waited past its
+            # deadline gets a fast 503 instead of aging further in a
+            # batch — bounded latency for what remains admitted
+            if self.deadline is not None:
+                now = time.perf_counter()
+                fresh = []
+                for text, fut, ts in items:
+                    waited = now - ts
+                    if waited > self.deadline:
+                        self.shed_deadline += 1
+                        fut.set_exception(DeadlineExceededError(
+                            f"queue wait {waited * 1e3:.0f} ms exceeded "
+                            f"deadline {self.deadline * 1e3:.0f} ms"
+                        ))
+                    else:
+                        fresh.append((text, fut, ts))
+                items = fresh
+                if not items:
+                    continue
             # encode per request so one bad text fails only its own future
             # instead of poisoning the whole coalesced batch
             good: list = []
-            for text, fut in items:
+            for text, fut, _ts in items:
                 try:
                     good.append((self.engine.encode(text), fut))
                 except Exception as e:  # noqa: BLE001
@@ -594,7 +731,9 @@ class DynamicBatcher:
 
 def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
                      max_wait_ms: float = 10.0,
-                     max_request_bytes: int = 1 << 20):
+                     max_request_bytes: int = 1 << 20,
+                     max_queue: int | None = 256,
+                     deadline_ms: float | None = 10_000.0):
     """Build (without starting) a ThreadingHTTPServer around the engine.
 
     Endpoints:
@@ -604,15 +743,21 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
            chunk arrives after one vocoder window, not the whole utt)
       GET  /healthz                               -> {"ok": true}
       GET  /stats                                 -> engine counters
+                                                     + shed counters
 
     Error contract: malformed JSON / missing-non-string-empty `text` /
     bodies over ``max_request_bytes`` / text the front-end rejects
     (empty encoding, > max_t1 symbols) are CLIENT errors (400/413);
-    only unexpected engine failures return 500.
+    overload (queue full at admission, or queue wait past
+    ``deadline_ms``) is 503 with Retry-After — the server bounds
+    latency for admitted traffic and sheds the rest; only unexpected
+    engine failures return 500. ``max_queue=None``/``deadline_ms=None``
+    disable the respective bound.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    batcher = DynamicBatcher(engine, max_wait_ms=max_wait_ms)
+    batcher = DynamicBatcher(engine, max_wait_ms=max_wait_ms,
+                             max_queue=max_queue, deadline_ms=deadline_ms)
     sr = engine.voc_cfg.sampling_rate
 
     class Handler(BaseHTTPRequestHandler):
@@ -633,7 +778,10 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
             if self.path == "/healthz":
                 self._json(200, {"ok": True})
             elif self.path == "/stats":
-                self._json(200, engine.stats.as_dict())
+                d = engine.stats.as_dict()
+                d["shed_queue_full"] = batcher.shed_full
+                d["shed_deadline"] = batcher.shed_deadline
+                self._json(200, d)
             else:
                 self._json(404, {"error": "not found"})
 
@@ -667,6 +815,15 @@ def make_http_server(engine, host: str = "0.0.0.0", port: int = 8080,
                 return
             try:
                 wav = batcher.submit(text).result(timeout=120)
+            except AdmissionError as e:  # overload: shed, tell when to retry
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(503)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except ValueError as e:  # front-end rejection: client error
                 self._json(400, {"error": str(e)})
                 return

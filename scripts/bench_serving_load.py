@@ -68,17 +68,23 @@ def build_engine(compute_dtype, legacy=False, detailed=False, max_batch=16):
     )
 
 
-def run_load(engine, qps: float, duration_s: float, rng) -> dict:
-    from efficient_tts_tpu.serve import DynamicBatcher
+def run_load(engine, qps: float, duration_s: float, rng,
+             max_queue=None, deadline_ms=None) -> dict:
+    from efficient_tts_tpu.serve import AdmissionError, DynamicBatcher
 
-    batcher = DynamicBatcher(engine, max_wait_ms=10.0)
+    batcher = DynamicBatcher(engine, max_wait_ms=10.0,
+                             max_queue=max_queue, deadline_ms=deadline_ms)
     engine.stats.__init__()  # reset counters
     lat: list = []
     lock = threading.Lock()
     pending = []
+    offered = 0
 
     def on_done(fut, t_submit):
-        fut.result()  # raise on error
+        try:
+            fut.result()
+        except AdmissionError:
+            return  # shed: counted via batcher.shed_*
         with lock:
             lat.append(time.perf_counter() - t_submit)
 
@@ -88,8 +94,13 @@ def run_load(engine, qps: float, duration_s: float, rng) -> dict:
         while time.perf_counter() < t_end:
             text = SENTENCES[i % len(SENTENCES)]
             i += 1
+            offered += 1
             t_submit = time.perf_counter()
-            fut = batcher.submit(text)
+            try:
+                fut = batcher.submit(text)
+            except AdmissionError:
+                time.sleep(rng.exponential(1.0 / qps))
+                continue
             fut.add_done_callback(
                 lambda f, t=t_submit: on_done(f, t)
             )
@@ -97,7 +108,10 @@ def run_load(engine, qps: float, duration_s: float, rng) -> dict:
             # Poisson arrivals
             time.sleep(rng.exponential(1.0 / qps))
         for f in pending:
-            f.result(timeout=120)
+            try:
+                f.result(timeout=120)
+            except AdmissionError:
+                pass
     finally:
         batcher.close()
     wall = duration_s
@@ -106,7 +120,13 @@ def run_load(engine, qps: float, duration_s: float, rng) -> dict:
     nb = max(s.batches, 1)
     return {
         "offered_qps": qps,
+        "offered": offered,
         "completed": len(lat),
+        "shed_queue_full": batcher.shed_full,
+        "shed_deadline": batcher.shed_deadline,
+        "shed_pct": round(
+            100.0 * (batcher.shed_full + batcher.shed_deadline)
+            / max(offered, 1), 1),
         "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
         "p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
         "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
@@ -135,6 +155,11 @@ def main():
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--legacy", action="store_true",
                     help="round-3 path: f32 transfer, no fetch overlap")
+    ap.add_argument("--max_queue", type=int, default=256,
+                    help="admission bound (0 = unbounded, round-4 behavior)")
+    ap.add_argument("--deadline_ms", type=float, default=2000.0,
+                    help="queue-wait SLO; aged requests are shed "
+                    "(0 = none)")
     ap.add_argument("--attribution", action="store_true",
                     help="block after stage-2 dispatch to split device "
                          "compute from transfer wait (defeats pipelining; "
@@ -146,22 +171,21 @@ def main():
     cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
     engine = build_engine(cdt, legacy=args.legacy, detailed=args.attribution,
                           max_batch=args.max_batch)
-    # warm every (batch-bucket, t1, t2) combo the sentences hit: the
-    # engine buckets the batch dim to powers of two and the batcher
-    # groups by length, so per-sentence homogeneous batches at each
-    # batch bucket are the hot grid
-    bb = 1
-    while bb <= args.max_batch:
-        for s in SENTENCES:
-            engine.synthesize([s] * bb)
-        bb *= 2
+    # production warmup over the served grid: t1 buckets of the bench
+    # sentences, every pow-2 batch bucket, organic t2 + neighbors
+    # (TTSEngine.warmup — the same call efts-serve makes)
+    t1s = sorted({len(engine.encode(s)) for s in SENTENCES})
+    engine.warmup(t1_lengths=t1s)
+    # mixed-length residual groups still hit one extra combo shape
     engine.synthesize(list(SENTENCES) * (2 * args.max_batch // len(SENTENCES) + 1))
     engine.stats.__init__()
 
     rng = np.random.default_rng(0)
     rows = []
     for qps in [float(q) for q in args.qps.split(",")]:
-        row = run_load(engine, qps, args.seconds, rng)
+        row = run_load(engine, qps, args.seconds, rng,
+                       max_queue=args.max_queue or None,
+                       deadline_ms=args.deadline_ms or None)
         rows.append(row)
         print(json.dumps(row), flush=True)
     if args.json_out:
