@@ -46,6 +46,16 @@ def get_parser():
         help="relative-bias gate for --duration_correction "
         "(0 = always apply, the ungated round-3 behavior)",
     )
+    p.add_argument(
+        "--repeats", type=int, default=1,
+        help="synthesize the utterance set N times and report RTF per "
+        "pass: pass 1 includes compile/cache-load and first-use param "
+        "transfer, later passes are the warm in-process rate (the "
+        "number comparable to bench.py)")
+    p.add_argument(
+        "--timing_json", default=None,
+        help="write a phase breakdown (checkpoint load, vocoder load, "
+        "per-batch wall, per-pass RTF) for throughput attribution")
     return p
 
 
@@ -77,6 +87,8 @@ def main(argv=None):
     from efficient_tts_tpu.utils.masks import pad_list
     from efficient_tts_tpu.utils.plotting import save_alignment_plot, save_mel_comparison
 
+    timing = {"phases": {}, "batches": [], "passes": []}
+    t_phase = time.time()
     ckpt_dir = os.path.dirname(os.path.abspath(args.checkpoint))
     config = load_config(os.path.join(ckpt_dir, "config.yml"))
     cfg = model_config_from_dict(config)
@@ -87,6 +99,8 @@ def main(argv=None):
     template = create_state(params, adam_warmup())
     state = ckpt.load_checkpoint(args.checkpoint, template, load_only_params=True)
     efts_params = fold_weight_norm(state["params"])
+    timing["phases"]["efts_load_s"] = round(time.time() - t_phase, 3)
+    t_phase = time.time()
 
     from efficient_tts_tpu.utils.config import vocoder_config_near_checkpoint
 
@@ -97,6 +111,7 @@ def main(argv=None):
         logging.warning("no --vocoder_checkpoint: using random vocoder weights")
         voc_params = fold_weight_norm(hg.init_generator(jax.random.PRNGKey(1), voc_cfg))
 
+    timing["phases"]["vocoder_load_s"] = round(time.time() - t_phase, 3)
     ds_params = dict(config.get("dataset_params", {}))
     use_phnseq = bool(ds_params.get("use_phnseq", False))
     phn2idx = (
@@ -107,40 +122,64 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
 
     sr = voc_cfg.sampling_rate
-    total_audio, total_time = 0.0, 0.0
-    for lo in range(0, len(items), args.batch_size):
-        chunk = items[lo : lo + args.batch_size]
-        seqs = [
-            np.asarray(
-                phones_to_sequence(text, phn2idx)
-                if use_phnseq
-                else text_to_sequence(text),
-                np.int32,
+    first_audio = 0.0
+    for rep in range(max(args.repeats, 1)):
+        total_audio, total_time = 0.0, 0.0
+        for lo in range(0, len(items), args.batch_size):
+            chunk = items[lo : lo + args.batch_size]
+            seqs = [
+                np.asarray(
+                    phones_to_sequence(text, phn2idx)
+                    if use_phnseq
+                    else text_to_sequence(text),
+                    np.int32,
+                )
+                for _, text in chunk
+            ]
+            text_ids = pad_list(seqs)
+            lengths = np.asarray([len(s) for s in seqs], np.int32)
+            t0 = time.time()
+            wav, wav_lengths = synthesize(
+                efts_params, voc_params, text_ids, lengths, cfg, voc_cfg,
+                duration_correction=(
+                    args.duration_correction_threshold
+                    if args.duration_correction else False
+                ),
             )
-            for _, text in chunk
-        ]
-        text_ids = pad_list(seqs)
-        lengths = np.asarray([len(s) for s in seqs], np.int32)
-        t0 = time.time()
-        wav, wav_lengths = synthesize(
-            efts_params, voc_params, text_ids, lengths, cfg, voc_cfg,
-            duration_correction=(
-                args.duration_correction_threshold
-                if args.duration_correction else False
-            ),
+            dt = time.time() - t0
+            total_time += dt
+            timing["batches"].append({
+                "pass": rep, "n": len(chunk), "t1": int(text_ids.shape[1]),
+                "wall_s": round(dt, 3),
+            })
+            if rep:
+                continue  # wavs identical across passes; write once
+            for i, (path, _) in enumerate(chunk):
+                n = int(wav_lengths[i])
+                total_audio += n / sr
+                name = os.path.splitext(os.path.basename(path))[0]
+                _write_wav(
+                    os.path.join(args.outdir, f"{name}_gen.wav"), wav[i, :n], sr
+                )
+            first_audio = total_audio
+        total_audio = total_audio or first_audio
+        rtf = total_time / max(total_audio, 1e-9)
+        timing["passes"].append({
+            "pass": rep, "audio_s": round(total_audio, 2),
+            "wall_s": round(total_time, 2), "rtf": round(rtf, 4),
+            "audio_s_per_s": round(1.0 / max(rtf, 1e-9), 1),
+        })
+        logging.info(
+            "pass %d: synthesized %.1f s of audio in %.2f s "
+            "(RTF %.4f, %.1f audio-s/s)%s",
+            rep, total_audio, total_time, rtf, 1.0 / max(rtf, 1e-9),
+            "" if rep else " [includes compile/cache-load + param transfer]",
         )
-        dt = time.time() - t0
-        total_time += dt
-        for i, (path, _) in enumerate(chunk):
-            n = int(wav_lengths[i])
-            total_audio += n / sr
-            name = os.path.splitext(os.path.basename(path))[0]
-            _write_wav(os.path.join(args.outdir, f"{name}_gen.wav"), wav[i, :n], sr)
-    rtf = total_time / max(total_audio, 1e-9)
-    logging.info(
-        "synthesized %.1f s of audio in %.2f s (RTF %.4f, %.1f audio-s/s)",
-        total_audio, total_time, rtf, 1.0 / max(rtf, 1e-9),
-    )
+    if args.timing_json:
+        import json
+
+        with open(args.timing_json, "w") as f:
+            json.dump(timing, f, indent=1)
 
 
 def _write_wav(path: str, wav: np.ndarray, sr: int) -> None:
