@@ -81,16 +81,26 @@ def test_train_and_infer_cli(setup):
     from efficient_tts_tpu.bin.inference import main as infer_main
 
     gendir = str(setup["root"] / "gen")
+    timing_json = str(setup["root"] / "timing.json")
     infer_main(
         [
             "--test_fid_scp", str(setup["root"] / "train.txt"),
             "--checkpoint", os.path.join(outdir, sorted(ckpts)[-1]),
             "--outdir", gendir,
             "--num_utts", "2",
+            "--repeats", "2",
+            "--timing_json", timing_json,
         ]
     )
     wavs = [f for f in os.listdir(gendir) if f.endswith(".wav")]
     assert len(wavs) == 2
+    import json
+
+    timing = json.load(open(timing_json))
+    assert len(timing["passes"]) == 2
+    # pass 1 reuses pass 0's compiles; audio accounting carries over
+    assert timing["passes"][1]["audio_s"] == timing["passes"][0]["audio_s"]
+    assert "efts_load_s" in timing["phases"]
     from scipy.io.wavfile import read
 
     sr, data = read(os.path.join(gendir, wavs[0]))
